@@ -1,0 +1,101 @@
+"""Delta-gap + varint block codec — numpy-vectorized (no per-value Python).
+
+Posting blocks store doc_ids (delta-gapped), tfs, doc_lens and positions
+as LEB128-style varints: 7 payload bits per byte, high bit = continuation.
+Encode/decode loop over *byte positions* (<= 10 iterations for uint64),
+never over values — each iteration is a whole-array numpy op, which is
+what keeps the Arrow-UDF hot path vectorized (north_rule: no per-row
+Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64/int64 ndarray -> varint bytes. Values must be >= 0."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_b = int(nbytes.max())
+    rem = v.copy()
+    for i in range(max_b):
+        active = nbytes > i
+        idx = starts[active] + i
+        chunk = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[active] > i + 1).astype(np.uint8) << 7
+        out[idx] = chunk | cont
+        rem[active] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """varint bytes -> uint64 ndarray."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # value index for every byte, then bit position within its value
+    value_idx = np.cumsum(is_end) - is_end.astype(np.int64)  # 0-based group id
+    within = np.arange(b.size, dtype=np.int64) - starts[value_idx]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64))
+    # payload bit-ranges are disjoint per value, so add == bitwise-or
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int array -> [first, gaps...]."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_ids(sorted_ids: np.ndarray) -> bytes:
+    return varint_encode(delta_encode(sorted_ids))
+
+
+def decode_ids(buf: bytes) -> np.ndarray:
+    return delta_decode(varint_decode(buf))
+
+
+def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
+    """Concatenate per-doc position lists, each delta-gapped within the
+    doc. Lengths are recoverable from the tfs array, so no length prefix."""
+    if not pos_lists:
+        return b""
+    parts = [delta_encode(np.asarray(p, dtype=np.uint64)) for p in pos_lists]
+    return varint_encode(np.concatenate(parts) if parts else np.empty(0, np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    flat = varint_decode(buf)
+    out = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        out.append(delta_decode(flat[off : off + tf]))
+        off += tf
+    return out

@@ -1,0 +1,64 @@
+"""lsearch-compatible normalization + tokenization.
+
+Normalization is **ASCII** lowercase — the reference lowercases content
+with ``to_ascii_lowercase`` (reference cli.rs:385), NOT Unicode casefold:
+'É' stays 'É'. Spark-side this is a JVM built-in ``translate`` (no Python
+in the hot path); the Python twin (`ascii_lower`) is byte-identical and
+feeds the pure-Python oracle.
+
+Tokenization (the reference does raw substring matching; the index graft
+needs explicit terms): separators are the ASCII non-alphanumeric bytes
+``\\x00-\\x2f \\x3a-\\x60 \\x7b-\\x7f``; token chars are ``[0-9a-z]`` plus
+every non-ASCII codepoint (>= \\x80), which pass through untouched.
+Both regexes below are written with explicit hex ranges so the Java
+(Spark) and Python (oracle) engines match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+# Separator class: ASCII bytes that are not [0-9a-z]. A-Z are included
+# (they are separators only if normalization was skipped; tokenize()
+# always lowercases first).
+SEP_RE_JAVA = "[\\x00-\\x2f\\x3a-\\x60\\x7b-\\x7f]+"
+SEP_RE_PY = re.compile("[\x00-\x2f\x3a-\x60\x7b-\x7f]+")
+
+_LOWER_TBL = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+
+
+# ---------------------------------------------------------------- python side
+def ascii_lower(s: str) -> str:
+    """ASCII-only lowercase (reference cli.rs:385 `to_ascii_lowercase`)."""
+    return s.translate(_LOWER_TBL)
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Oracle twin of `tokens_col`. Returns normalized tokens in order."""
+    return [t for t in SEP_RE_PY.split(ascii_lower(text)) if t]
+
+
+# ----------------------------------------------------------------- spark side
+def ascii_lower_col(col: Column | str) -> Column:
+    """JVM-side ASCII lowercase: translate(col, 'A-Z', 'a-z')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def tokens_col(col: Column | str) -> Column:
+    """array<string> of normalized tokens, entirely JVM-side
+    (translate -> regexp split -> drop empties). Empty/null text -> []."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(ascii_lower_col(c), SEP_RE_JAVA)
+    arr = F.filter(arr, lambda x: x != F.lit(""))
+    return F.coalesce(arr, F.array())
+
+
+def doc_len_col(col: Column | str) -> Column:
+    return F.size(tokens_col(col))
