@@ -82,6 +82,28 @@ def decode_ids(buf: bytes) -> np.ndarray:
     return delta_decode(varint_decode(buf))
 
 
+_SIGN = np.uint64(1 << 63)
+
+
+def i64_to_u64_order(ids: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 -> uint64 map (XOR sign bit). Lets delta-gap
+    encoding work on xxhash64 doc_ids, which may be negative."""
+    return np.ascontiguousarray(ids, dtype=np.int64).view(np.uint64) ^ _SIGN
+
+
+def u64_to_i64_order(u: np.ndarray) -> np.ndarray:
+    return (np.ascontiguousarray(u, dtype=np.uint64) ^ _SIGN).view(np.int64)
+
+
+def encode_ids_signed(sorted_ids: np.ndarray) -> bytes:
+    """int64 ids, sorted ascending in signed order."""
+    return varint_encode(delta_encode(i64_to_u64_order(sorted_ids)))
+
+
+def decode_ids_signed(buf: bytes) -> np.ndarray:
+    return u64_to_i64_order(delta_decode(varint_decode(buf)))
+
+
 def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
     """Concatenate per-doc position lists, each delta-gapped within the
     doc. Lengths are recoverable from the tfs array, so no length prefix."""

@@ -1,0 +1,122 @@
+"""End-to-end: staged index build + BM25 top-k, rank-identical vs the
+pure-Python oracle on the reference query set (north_rule gate)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsearch_spark import codec
+from lsearch_spark.build import Warehouse, build_index
+from lsearch_spark.corpus import QUERIES, make_pages, pages_df
+from lsearch_spark.oracle import PyIndex, bm25_topk, build_index as py_build
+from lsearch_spark.query import search
+
+N_DOCS = 300  # +6 edge rows
+
+
+@pytest.fixture(scope="session")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    pages = pages_df(spark, N_DOCS)
+    # small blocks + aggressive salting so the physical layout is exercised
+    return build_index(
+        spark, pages, root, n_buckets=4, block_size=32, hot_df=64, n_salts=4, run_id="t1", input_id="corpus300"
+    )
+
+
+@pytest.fixture(scope="session")
+def pyidx() -> PyIndex:
+    pdf = make_pages(N_DOCS)
+    return py_build(list(zip(pdf["doc_id"], pdf["text"])))
+
+
+def assert_rank_identical(got_rows, want, tol=1e-9):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert len(got) == len(want), (got, want)
+    want_score = dict(want)
+    for d, s in got:
+        assert d in want_score, f"unexpected doc {d}"
+        assert math.isclose(s, want_score[d], rel_tol=tol, abs_tol=tol), (d, s, want_score[d])
+    # re-rank engine docs by ORACLE scores -> must reproduce oracle order
+    rerank = sorted((d for d, _ in got), key=lambda d: (-want_score[d], d))
+    assert rerank == [d for d, _ in want]
+
+
+def test_docs_and_stats_match_oracle(spark, wh, pyidx):
+    docs = {r["doc_id"]: r["doc_len"] for r in spark.read.parquet(wh.path("docs")).collect()}
+    assert docs == pyidx.doc_len
+    stats = wh.corpus_stats(spark)
+    assert stats["n_docs"] == pyidx.n_docs
+    assert math.isclose(stats["avgdl"], pyidx.avgdl, rel_tol=1e-12)
+    ts = {r["term"]: (r["df"], r["cf"]) for r in spark.read.parquet(wh.path("term_stats")).collect()}
+    want = {t: (len(p), sum(p.values())) for t, p in pyidx.postings.items()}
+    assert ts == want
+
+
+def test_blocks_reconstruct_postings(spark, wh, pyidx):
+    """Decode every compressed block -> exact (term, doc, tf, positions)."""
+    rows = spark.read.parquet(wh.path("postings")).collect()
+    got: dict[str, dict[int, int]] = {}
+    got_pos: dict[str, dict[int, list[int]]] = {}
+    for r in rows:
+        ids = codec.decode_ids_signed(bytes(r["doc_ids"]))
+        tfs = codec.varint_decode(bytes(r["tfs"]))
+        dls = codec.varint_decode(bytes(r["doc_lens"]))
+        poss = codec.decode_positions(bytes(r["positions"]), tfs)
+        assert len(ids) == r["n_docs"] == len(tfs) == len(dls)
+        assert int(ids[0]) == r["min_doc_id"] and int(ids[-1]) == r["max_doc_id"]
+        assert int(tfs.max()) == r["block_max_tf"]
+        assert np.all(np.diff(ids) > 0), "doc_ids strictly increasing within block"
+        for d, tf, dl, pos in zip(ids, tfs, dls, poss):
+            got.setdefault(r["term"], {})[int(d)] = int(tf)
+            got_pos.setdefault(r["term"], {})[int(d)] = [int(x) for x in pos]
+            assert pyidx.doc_len[int(d)] == int(dl)
+    assert got == pyidx.postings
+    assert got_pos == pyidx.positions
+
+
+def test_hot_terms_are_salted(spark, wh):
+    hot = (
+        spark.read.parquet(wh.path("postings"))
+        .filter(F.col("term") == "the")
+        .select("salt")
+        .distinct()
+        .count()
+    )
+    assert hot > 1, "stopword 'the' must be split across salts"
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[f"q{q['query_id']}" for q in QUERIES])
+def test_bm25_rank_identical(spark, wh, pyidx, q):
+    want = bm25_topk(pyidx, q["query"], k=q["k"])
+    got = search(spark, wh, q["query"], k=q["k"]).collect()
+    assert_rank_identical(got, want)
+
+
+@pytest.mark.parametrize("qid", [1, 2, 5, 6, 11, 13, 18, 25])
+def test_pruned_equals_exhaustive(spark, wh, pyidx, qid):
+    q = next(x for x in QUERIES if x["query_id"] == qid)
+    want = bm25_topk(pyidx, q["query"], k=q["k"])
+    got = search(spark, wh, q["query"], k=q["k"], prune=True).collect()
+    assert_rank_identical(got, want)
+
+
+def test_and_mode(spark, wh, pyidx):
+    want = bm25_topk(pyidx, "biology chemistry", k=10, mode="and")
+    got = search(spark, wh, "biology chemistry", k=10, mode="and").collect()
+    assert_rank_identical(got, want)
+    assert search(spark, wh, "biology absentterm", mode="and").count() == 0
+
+
+def test_with_url(spark, wh):
+    rows = search(spark, wh, "biology", k=3, with_url=True).collect()
+    assert len(rows) == 3 and all(r["url"].startswith("https://") for r in rows)
+
+
+def test_tiebreak_deterministic(spark, wh):
+    rows = search(spark, wh, "tiebreak", k=10).collect()
+    assert len(rows) == 2
+    assert rows[0]["doc_id"] < rows[1]["doc_id"]
+    assert rows[0]["score"] == rows[1]["score"]
