@@ -1,38 +1,324 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() covers SURVEY.md §2 operator inventory over the driver's
+testdata tables; every SQL-expressible operator has a DuckDB oracle in
+oracle_sql() (same column names, floats rounded identically on both
+sides). BM25 queries run the real engine (index build + compressed-
+block search) and are checked against a full BM25 reimplementation in
+ANSI SQL. Non-SQL-expressible ops (MinHash/SimHash/LSH approximate
+paths) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsearch_spark.build import build_index
+from lsearch_spark.functions import ann, dedup, textstats
+from lsearch_spark.functions.lsearch import ContentRun, cascade, has, hasnt, is_, more_count, not_
+from lsearch_spark.query import search
+from lsearch_spark.tokenize import ASCII_LOWER, ASCII_UPPER, SEP_RE_JAVA, ascii_lower_col, tokens_col
+
+# ---------------------------------------------------------- shared SQL bits
+_LOWER = f"translate({{c}}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+_SEP = SEP_RE_JAVA.replace("\\x", "\\x")  # same RE2/Java-compatible hex ranges
+_TOKS = f"list_filter(regexp_split_to_array({_LOWER}, '{_SEP}'), t -> t <> '')"
 
 
+def _toks_sql(c: str = "text") -> str:
+    return _TOKS.format(c=c)
+
+
+def _lower_sql(c: str = "text") -> str:
+    return _LOWER.format(c=c)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# ------------------------------------------------- engine warehouse (cached)
+def _documents_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir; resumable manifests make reruns no-ops) an
+    inverted index over the documents table, reshaped to the pages schema."""
+    key = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    wh_dir = os.path.join(tempfile.gettempdir(), f"lsearch_wh_{key}")
+    pages = (
+        _docs(spark, sf_dir)
+        .withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
+        .withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("doc_id", "url", "warc_ts", "text", "lang")
+    )
+    build_index(
+        spark, pages, wh_dir,
+        n_buckets=4, block_size=64, hot_df=256, n_salts=4,
+        run_id="entry", input_id=sf_dir, resume=True, from_html=False,
+    )
+    return wh_dir
+
+
+def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str = "or", prune: bool = False) -> DataFrame:
+    wh = _documents_wh(spark, sf_dir)
+    out = search(spark, wh, query, k=10, mode=mode, prune=prune)
+    return out.select("doc_id", F.round("score", 5).alias("score"))
+
+
+_BM25_SQL = """
+WITH dl AS (
+  SELECT doc_id, len({toks}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  WHERE term IN ({terms})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 5) AS score FROM scored
+{and_clause}
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+def _bm25_sql(terms: list[str], mode: str = "or") -> str:
+    and_clause = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return _BM25_SQL.format(toks=_toks_sql("text"), terms=tlist, and_clause=and_clause)
+
+
+# ------------------------------------------------------------------ queries
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and run a
+    BM25 top-10 through the compressed posting blocks."""
+    return _bm25(spark, "/root/testdata/sf0.001", "data query stream")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- lsearch scalar operator surface (SURVEY §2.2-2.4) ---
+    q["filter_is"] = lambda s, d: _docs(s, d).filter(is_(F.col("lang"), "en")).select("doc_id", "lang")
+    q["filter_not"] = lambda s, d: _docs(s, d).filter(not_(F.col("source"), "src1")).select("doc_id", "source")
+    q["filter_has"] = lambda s, d: _docs(s, d).filter(has(F.col("text"), "filter")).select("doc_id")
+    q["filter_hasnt"] = lambda s, d: _docs(s, d).filter(hasnt(F.col("text"), "merge")).select("doc_id")
+    q["filter_has_insensitive"] = lambda s, d: (
+        _docs(s, d).filter(has(F.col("text"), "SPARK", insensitive=True)).select("doc_id")
+    )
+    q["score_more"] = lambda s, d: _docs(s, d).select(
+        "doc_id", more_count(F.col("text"), "data").alias("score")
+    )
+    q["cascade_topk"] = lambda s, d: (
+        cascade(
+            _docs(s, d),
+            [ContentRun("content-text", [("has", "data"), ("more", "the")])],
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+    # --- index-build aggregations (SURVEY §2.7) ---
+    q["term_df_top20"] = lambda s, d: (
+        _docs(s, d)
+        .select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+        .select("term", "df", "cf")
+    )
+    q["doc_token_stats"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.n_chars("text").alias("len_chars"),
+    )
+
+    # --- BM25 engine (index build + compressed blocks + top-k) ---
+    q["bm25_top10"] = lambda s, d: _bm25(s, d, "data query")
+    q["bm25_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", prune=True)
+    q["bm25_and_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and")
+    q["bm25_negation_top10"] = lambda s, d: _bm25(s, d, "data -query")
+
+    # --- dedup (training-data pipeline) ---
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
+    q["dedup_kept_ids"] = lambda s, d: dedup.drop_exact_dups(_docs(s, d)).select("doc_id")
+    q["jaccard_consecutive"] = lambda s, d: dedup.consecutive_jaccard(_docs(s, d), n=2).select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+    q["minhash_near_dups"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _docs(s, d), num_hashes=32, bands=8, n=2, threshold=0.8
+    )  # rows-only: xxhash64 seeds are Spark-specific
+    q["simhash_near_dups"] = lambda s, d: dedup.simhash_near_dups(_docs(s, d), max_hamming=3)
+
+    # --- similarity search ---
+    def _qvec(s, d):
+        return _emb(s, d).filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+
+    q["ann_cosine_top10"] = lambda s, d: ann.cosine_topk(
+        _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double"))),
+        [float(x) for x in _qvec(s, d)], k=10,
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+    q["ann_lsh_top10"] = lambda s, d: ann.cosine_topk_lsh(
+        _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double"))),
+        [float(x) for x in _qvec(s, d)], k=10, n_planes=10, radius=2,
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))  # rows-only: approximate
+    q["embedding_norms"] = lambda s, d: _emb(s, d).select(
+        "vec_id",
+        F.round(ann.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("l2"),
+    )
+
+    # --- text analysis ---
+    q["textstats_quality"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        F.round(textstats.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(textstats.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(textstats.quality_score("text"), 6).alias("quality"),
+    )
+    q["lang_id_counts"] = lambda s, d: (
+        _docs(s, d).select(textstats.lang_id("text").alias("lang_pred")).groupBy("lang_pred").agg(F.count("*").alias("n"))
+    )
+    q["fingerprints"] = lambda s, d: _docs(s, d).select(
+        "doc_id", textstats.fingerprint("text").alias("fp")
+    )
+
+    # --- generic relational ops on events (scan/agg/window/sort) ---
+    q["events_by_minute"] = lambda s, d: (
+        _events(s, d)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("minute"), "n_events", "n_users", "sum_value")
+    )
+    q["events_type_stats"] = lambda s, d: (
+        _events(s, d).groupBy("event_type").agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _toks_sql("text")
+    low = _lower_sql("text")
+    sw = "['the','and','of','to','a','in','is','it','you','that']"
+    langs = {
+        "en": sw,
+        "de": "['der','die','das','und','ist','nicht','mit','ein','zu','den']",
+        "fr": "['le','la','les','et','est','dans','que','pour','vous','ne']",
+        "es": "['el','los','y','es','una','en','por','con','para','del']",
+    }
+    lang_scores = ", ".join(
+        f"len(list_filter(list_distinct({toks}), t -> list_contains({arr}, t))) AS s_{l}" for l, arr in langs.items()
+    )
+    bigrams = f"list_distinct(list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i+1]))"
+
+    return {
+        "filter_is": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "filter_not": "SELECT doc_id, source FROM documents WHERE source <> 'src1'",
+        "filter_has": "SELECT doc_id FROM documents WHERE contains(text, 'filter')",
+        "filter_hasnt": "SELECT doc_id FROM documents WHERE NOT contains(text, 'merge')",
+        "filter_has_insensitive": f"SELECT doc_id FROM documents WHERE contains({low}, 'spark')",
+        "score_more": (
+            "SELECT doc_id, 1.0 + (length(text) - length(replace(text, 'data', ''))) / 4.0 AS score FROM documents"
+        ),
+        "cascade_topk": (
+            "SELECT doc_id, 1.0 + (1.0 + (length(text) - length(replace(text, 'the', ''))) / 3.0) AS score "
+            "FROM documents WHERE contains(text, 'data') ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "term_df_top20": (
+            f"SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+            f"FROM (SELECT doc_id, unnest({toks}) AS term FROM documents) "
+            f"GROUP BY term ORDER BY df DESC, term LIMIT 20"
+        ),
+        "doc_token_stats": f"SELECT doc_id, len({toks}) AS n_tokens, length(text) AS len_chars FROM documents",
+        "bm25_top10": _bm25_sql(["data", "query"]),
+        "bm25_pruned_top10": _bm25_sql(["data", "query"]),
+        "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
+        "bm25_negation_top10": f"""
+WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+       WHERE term = 'data' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+neg AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({toks}) AS term FROM documents) WHERE term = 'query')
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 5) AS score
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+WHERE tf.doc_id NOT IN (SELECT doc_id FROM neg)
+GROUP BY tf.doc_id
+ORDER BY sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) DESC, tf.doc_id LIMIT 10
+""",
+        "dedup_exact_groups": (
+            "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_kept_ids": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "jaccard_consecutive": f"""
+WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+             THEN len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
+                  / len(list_distinct(list_concat(a.grams, b.grams)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+""",
+        "ann_cosine_top10": """
+SELECT vec_id, round(cos, 6) AS cosine FROM (
+  SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+) ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "embedding_norms": "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2 FROM embeddings",
+        "textstats_quality": f"""
+WITH base AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({toks}) > 0 THEN len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE / len({toks}) ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, round(alpha_ratio, 6) AS alpha_ratio, round(stop_ratio, 6) AS stop_ratio,
+       round(0.25 * least(1.0, n_tokens / 200.0) + 0.25 * alpha_ratio
+             + 0.25 * least(1.0, 5.0 * stop_ratio) + 0.25 * (1.0 - least(1.0, 10.0 * punct_ratio)), 6) AS quality
+FROM base
+""",
+        "lang_id_counts": f"""
+WITH s AS (SELECT {lang_scores} FROM documents),
+p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS lang_pred FROM s)
+SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+""",
+        "fingerprints": f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents",
+        "events_by_minute": """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+""",
+        "events_type_stats": "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value FROM events GROUP BY event_type",
+    }

@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: md5-fingerprint hash-groupBy (map-side partial agg; no skew —
+  fingerprints are uniform).
+- n-gram Jaccard: shingle sets + array_intersect/union, JVM-side.
+- MinHash + LSH: nested-transform JVM expression for signatures (one
+  pass over tokens per hash seed, zero Python); banding -> bucket
+  self-join -> exact-Jaccard verification. This is the 100 TB path:
+  candidate generation is an equi-join on (band, band_hash), never an
+  all-pairs product.
+- SimHash: 64-bit signature as a single Catalyst expression (per-bit
+  weighted sums packed with shiftleft/bitwise-or).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+
+
+# ------------------------------------------------------------------- exact
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: (fingerprint, keep_id=min id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate group."""
+    keep = exact_dup_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ----------------------------------------------------------------- shingles
+def ngram_set(text: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized token stream (JVM-side)."""
+    toks = tokens_col(text)
+    size_ok = F.size(toks) >= n
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(size_ok, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0)).cast("double")
+
+
+def consecutive_jaccard(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:
+    """Jaccard of each doc vs (id+1) — a cheap SQL-oracle-checkable probe
+    of the shingle+jaccard kernel."""
+    g = df.select(F.col(id_col).alias("a_id"), ngram_set(text_col, n).alias("a_g"))
+    h = df.select((F.col(id_col) - 1).alias("a_id"), ngram_set(text_col, n).alias("b_g"), F.col(id_col).alias("b_id"))
+    return g.join(h, "a_id").select("a_id", "b_id", jaccard(F.col("a_g"), F.col("b_g")).alias("jaccard"))
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signature(text: Column | str = "text", num_hashes: int = 64, n: int = 3) -> Column:
+    """array<long> of length num_hashes: min over shingles of
+    xxhash64(seed, shingle). Single nested-transform expression —
+    one JVM pass, no Python. Empty shingle set -> nulls."""
+    grams = ngram_set(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(s, g))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, exact jaccard >= threshold).
+
+    rows_per_band = num_hashes/bands; candidates = docs sharing >=1 band
+    hash (equi-join on (band, hash) — shuffle on uniform keys, scales);
+    then exact n-gram Jaccard verification on candidates only.
+    """
+    r = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            ngram_set(text_col, n).alias("grams"),
+            minhash_signature(text_col, num_hashes, n).alias("sig"),
+        )
+        .filter(F.size("grams") > 0)
+        .cache()  # referenced 3x (banding + both sides of the verify join)
+    )
+
+    banded = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    ga = base.select(F.col("id").alias("a_id"), F.col("grams").alias("a_g"))
+    gb = base.select(F.col("id").alias("b_id"), F.col("grams").alias("b_g"))
+    return (
+        cand.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select("a_id", "b_id", jaccard(F.col("a_g"), F.col("b_g")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash64(text: Column | str = "text") -> Column:
+    """64-bit SimHash of the token stream (tf-weighted), one Catalyst
+    expression: bit_j = sign(sum over tokens of +/-1 by hash bit j)."""
+    toks = tokens_col(text)
+
+    def ones_at(j: int):  # factory so the Spark lambda stays binary
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    packed = F.lit(0).cast("long")
+    for j in range(64):  # python loop builds ONE expression tree; shift
+        # amounts must be literal ints in the classic Column API
+        bit = F.when(ones_at(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = packed.bitwiseOR(F.shiftleft(bit, j))
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash. Candidates via 4x16-bit band buckets
+    (any pair within hamming<=3 of 64 bits shares at least one exact
+    16-bit quarter — pigeonhole), then exact hamming verify."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig")).cache()
+    quarters = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sig"), 16 * q).bitwiseAND(F.lit(0xFFFF)) for q in range(4)])
+        ).alias("q", "qval"),
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qval") == F.col("b.qval")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), F.col("a.sig").alias("a_sig"), F.col("b.sig").alias("b_sig"))
+        .distinct()
+    )
+    return cand.select("a_id", "b_id", hamming64(F.col("a_sig"), F.col("b_sig")).alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines — all JVM-side
+Catalyst expressions (no Python in the hot path).
+
+lang-ID (stopword-overlap heuristic), quality scoring (length/alpha/
+punct/stopword ratios), token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "vous", "ne"],
+    "es": ["el", "los", "y", "es", "una", "en", "por", "con", "para", "del"],
+}
+
+
+def _toks(text: Column | str) -> Column:
+    return tokens_col(text)
+
+
+def token_count(text: Column | str = "text") -> Column:
+    return F.size(_toks(text))
+
+
+def n_chars(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def alpha_ratio(text: Column | str = "text") -> Column:
+    """Letters / total chars (0.0 for empty)."""
+    c = F.col(text) if isinstance(text, str) else text
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return F.when(F.length(c) > 0, alpha / F.length(c)).otherwise(F.lit(0.0)).cast("double")
+
+
+def punct_ratio(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0)).cast("double")
+
+
+def stopword_ratio(text: Column | str = "text", lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = _toks(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0)).cast("double")
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.25*min(1, tokens/200) + 0.25*alpha_ratio
+    + 0.25*min(1, 5*en_stopword_ratio) + 0.25*(1 - min(1, 10*punct_ratio))
+    """
+    toks_term = F.least(F.lit(1.0), token_count(text) / F.lit(200.0))
+    stop_term = F.least(F.lit(1.0), F.lit(5.0) * stopword_ratio(text, "en"))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), F.lit(10.0) * punct_ratio(text))
+    return (
+        F.lit(0.25) * toks_term
+        + F.lit(0.25) * alpha_ratio(text)
+        + F.lit(0.25) * stop_term
+        + F.lit(0.25) * punct_term
+    ).cast("double")
+
+
+def lang_id(text: Column | str = "text") -> Column:
+    """Stopword-overlap language guess over {en,de,fr,es}; 'und' when no
+    stopword of any set occurs. Ties break by fixed order en,de,fr,es."""
+    toks = F.array_distinct(_toks(text))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Content fingerprint over NORMALIZED tokens (md5 hex — portable to
+    the DuckDB oracle), i.e. whitespace/case/punctuation-insensitive."""
+    return F.md5(F.concat_ws(" ", _toks(text)))

@@ -1,0 +1,169 @@
+"""Operator library: lsearch scalar ops vs oracle, textstats, dedup, ANN."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lsearch_spark import oracle
+from lsearch_spark.corpus import make_pages, pages_df
+from lsearch_spark.functions import ann, dedup, textstats
+from lsearch_spark.functions.lsearch import (
+    ContentRun,
+    cascade,
+    content_ext,
+    content_path,
+    content_title,
+    has,
+    hasnt,
+    is_,
+    more_count,
+    not_,
+    ranked,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, 150).cache()
+
+
+def test_loaders(spark, pages):
+    r = pages.select(
+        content_path().alias("p"), content_title().alias("t"), content_ext().alias("e")
+    ).first()
+    assert r["p"].startswith("https://") and r["t"].startswith("page-") and r["e"] == "html"
+
+
+def test_scalar_ops_match_oracle(spark, pages):
+    rows = pages.select(
+        "doc_id",
+        "text",
+        is_(F.col("lang"), "en").alias("is_en"),
+        not_(F.col("lang"), "en").alias("not_en"),
+        has(F.col("text"), "biology").alias("has_b"),
+        hasnt(F.col("text"), "biology").alias("hasnt_b"),
+        more_count(F.col("text"), "the").alias("more_the"),
+        more_count(F.col("text"), "Biology", insensitive=True).alias("more_bi"),
+    ).collect()
+    pdf = make_pages(150)
+    langs = dict(zip(pdf["doc_id"], pdf["lang"]))
+    for r in rows:
+        lang, text = langs[r["doc_id"]], r["text"]
+        assert r["is_en"] == (oracle.score_is(lang, "en") == 1.0)
+        assert r["not_en"] == (oracle.score_not(lang, "en") == 1.0)
+        assert r["has_b"] == (oracle.score_has(text, "biology") == 1.0)
+        assert r["hasnt_b"] == (oracle.score_hasnt(text, "biology") == 1.0)
+        assert r["more_the"] == oracle.score_more(text, "the")
+        assert r["more_bi"] == oracle.score_more(oracle.ascii_lower(text), "biology")
+
+
+def test_cascade_matches_oracle(spark, pages):
+    runs = [
+        ContentRun("content-ext", [("is", "html")]),
+        ContentRun("content-text", [("has", "biology"), ("more", "the")], insensitive=True),
+    ]
+    got = {r["doc_id"]: r["score"] for r in cascade(pages, runs).collect()}
+    pdf = make_pages(150)
+    want = {}
+    for _, row in pdf.iterrows():
+        ext = row["url"].rsplit(".", 1)[-1]
+        if oracle.run_scorer(ext, [("is", "html")], False) is None:
+            continue
+        s = oracle.run_scorer(row["text"], [("has", "biology"), ("more", "the")], True)
+        if s is not None:
+            want[row["doc_id"]] = s
+    assert got == want
+
+
+def test_ranked_order(spark, pages):
+    rows = ranked(pages, [ContentRun("content-text", [("more", "the")])]).limit(5).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in a house. It is you!"), (2, ""), (3, "der und das ist nicht mit ein")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in df.select(
+        "doc_id",
+        textstats.token_count("text").alias("tc"),
+        textstats.lang_id("text").alias("lang"),
+        textstats.stopword_ratio("text").alias("sw"),
+        textstats.quality_score("text").alias("q"),
+        textstats.fingerprint("text").alias("fp"),
+    ).collect()}
+    assert r[1]["tc"] == 11 and r[1]["lang"] == "en"
+    assert r[3]["lang"] == "de"
+    assert r[2]["tc"] == 0 and r[2]["lang"] == "und" and r[2]["q"] == 0.25  # punct term only
+    assert abs(r[1]["sw"] - 8 / 11) < 1e-12  # the,and,the,in,a,it,is,you
+    import hashlib
+    assert r[1]["fp"] == hashlib.md5(" ".join(
+        "the cat and the dog in a house it is you".split()).encode()).hexdigest()
+
+
+def test_exact_dedup(spark, pages):
+    groups = dedup.exact_dup_groups(pages).filter(F.col("n_dups") > 1).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2  # the tie pair
+    kept = dedup.drop_exact_dups(pages)
+    assert kept.count() == pages.count() - 1
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    out = {(-(-r["a_id"]), r["b_id"]): r["jaccard"] for r in dedup.consecutive_jaccard(df, n=2).collect()}
+    assert out[(1, 2)] == 1.0 and out[(2, 3)] == 0.0
+
+
+def test_minhash_lsh_finds_dups(spark, pages):
+    pairs = dedup.minhash_lsh_pairs(pages, num_hashes=32, bands=8, n=2, threshold=0.9).collect()
+    ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    tie_ids = tuple(sorted(make_pages(150).query("text == 'tiebreak quantum flux common signal'")["doc_id"]))
+    assert tie_ids in ids
+    for r in pairs:
+        assert r["jaccard"] >= 0.9
+
+
+def test_simhash_finds_dups(spark, pages):
+    pairs = dedup.simhash_near_dups(pages, max_hamming=2).collect()
+    tie_ids = tuple(sorted(make_pages(150).query("text == 'tiebreak quantum flux common signal'")["doc_id"]))
+    assert tie_ids in {(r["a_id"], r["b_id"]) for r in pairs}
+    assert all(r["hamming"] <= 2 for r in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = np.asarray(pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    M = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    cos = M @ q / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(pdf["vec_id"], cos), key=lambda x: (-x[1], x[0]))[:5]
+    got = ann.cosine_topk(emb, q.tolist(), k=5).collect()
+    assert [r["vec_id"] for r in got] == [int(d) for d, _ in order]
+    for r, (_, c) in zip(got, order):
+        assert abs(r["cosine"] - c) < 1e-6
+
+
+def test_lsh_topk_recall(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf.loc[pdf["vec_id"] == 7, "embedding"].iloc[0])
+    exact = [r["vec_id"] for r in ann.cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ann.cosine_topk_lsh(emb, q, k=5, n_planes=8, radius=2).collect()]
+    assert exact[0] in approx  # the query's own vector must be found
+    # random vectors have weak LSH locality; assert mechanism, not magic
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_near_dups_self(spark, emb):
+    # duplicate a vector -> the pair must surface at threshold ~1
+    dup = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
+    pairs = ann.embedding_near_dups(emb.unionByName(dup), threshold=0.999).collect()
+    assert (3, 100003) in {(r["a_id"], r["b_id"]) for r in pairs}

@@ -1,0 +1,92 @@
+"""Local mimic of the driver's CORRECTNESS check: run every queries()
+entry and its oracle_sql() on the same sf dir, compare schema + rowcount
++ order-insensitive values. Usage: python tools/check_entry.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from lsearch_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def rowset(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return sorted(tuple(canon(r[c]) for c in cols) for _, r in df_pandas.iterrows()), cols
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    spark = get_spark(app="check-entry", cores=8, shuffle_partitions=8, driver_memory="4g")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    fails, rows_only = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
+            print(f"FAIL  {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        g, gc = rowset(got)
+        w, wc = rowset(want)
+        if gc != wc:
+            fails.append((name, f"schema {gc} != {wc}"))
+            print(f"FAIL  {name}: schema {gc} != {wc}")
+        elif len(g) != len(w):
+            fails.append((name, f"rows {len(g)} != {len(w)}"))
+            print(f"FAIL  {name}: rowcount {len(g)} != {len(w)}")
+        elif g != w:
+            diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            fails.append((name, f"values differ, e.g. {diff}"))
+            print(f"FAIL  {name}: values differ e.g. {diff}")
+        else:
+            print(f"OK    {name}: {len(g)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(fails) - len(rows_only)} ok, {len(rows_only)} rows-only, {len(fails)} FAILED")
+    if fails:
+        sys.exit(1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
