@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsearch_spark.build import build_index
-from lsearch_spark.functions import ann, dedup, textstats
+from lsearch_spark.functions import ann, dedup, multimodal, textstats
 from lsearch_spark.functions.lsearch import ContentRun, cascade, has, hasnt, is_, more_count, not_
 from lsearch_spark.query import search
 from lsearch_spark.tokenize import ASCII_LOWER, ASCII_UPPER, SEP_RE_JAVA, ascii_lower_col, tokens_col
@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = lambda s, d: _docs(s, d).select(
         "doc_id", textstats.fingerprint("text").alias("fp")
     )
+
+    # --- multimodal plumbing (deterministic fake decode; rows-only) ---
+    q["media_image_features"] = lambda s, d: multimodal.decode_image_features(multimodal.synth_media(s, 120))
+    q["media_frame_sample"] = lambda s, d: multimodal.sample_frames(multimodal.synth_media(s, 120), every_n=10)
 
     # --- generic relational ops on events (scan/agg/window/sort) ---
     q["events_by_minute"] = lambda s, d: (

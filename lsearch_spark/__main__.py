@@ -1,0 +1,85 @@
+"""CLI entry point — the lsearch-equivalent surface, cluster-shippable:
+
+  spark-submit --py-files lsearch_spark.zip -m lsearch_spark ...   (cluster)
+  python -m lsearch_spark build --input pages.parquet --warehouse /wh
+  python -m lsearch_spark search --warehouse /wh --query "biology -chem" -k 10
+  python -m lsearch_spark demo   # synthetic corpus end-to-end
+
+The reference CLI's query pipeline (--content-* / --has / --more ...)
+maps onto `search` (BM25 over the index) and the functions.lsearch
+cascade for scalar runs; see SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lsearch_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="parquet path with pages schema")
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--hot-df", type=int, default=100_000)
+    b.add_argument("--salts", type=int, default=16)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--run-id", default="cli")
+    b.add_argument("--input-id", default=None)
+
+    s = sub.add_parser("search", help="BM25 top-k over a built index")
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", choices=["or", "and"], default="or")
+    s.add_argument("--prune", action="store_true")
+    s.add_argument("--urls", action="store_true")
+
+    d = sub.add_parser("demo", help="synthetic corpus -> build -> query")
+    d.add_argument("--docs", type=int, default=2000)
+    d.add_argument("--warehouse", default="/tmp/lsearch_demo_wh")
+
+    args = p.parse_args(argv)
+    spark = get_spark(app=f"lsearch-{args.cmd}")
+
+    if args.cmd == "build":
+        from .build import build_index
+
+        pages = spark.read.parquet(args.input)
+        build_index(
+            spark, pages, args.warehouse,
+            n_buckets=args.buckets, block_size=args.block_size, hot_df=args.hot_df,
+            n_salts=args.salts, run_id=args.run_id,
+            input_id=args.input_id or args.input, resume=not args.no_resume,
+        )
+        print(f"index built at {args.warehouse}")
+    elif args.cmd == "search":
+        from .query import search
+
+        out = search(spark, args.warehouse, args.query, k=args.k, mode=args.mode,
+                     prune=args.prune, with_url=args.urls)
+        for r in out.collect():
+            cols = f"[{r['score']:.4f}] {r['doc_id']}"
+            print(cols + (f" {r['url']}" if args.urls else ""))
+    elif args.cmd == "demo":
+        from .build import build_index
+        from .corpus import pages_df
+        from .query import search
+
+        wh = build_index(spark, pages_df(spark, args.docs), args.warehouse, input_id=f"demo{args.docs}")
+        for q in ("biology", "quantum neural", "the -biology"):
+            print(f"\n== {q!r} ==")
+            for r in search(spark, wh, q, k=5, with_url=True).collect():
+                print(f"[{r['score']:.4f}] {r['url']}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

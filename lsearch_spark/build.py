@@ -109,19 +109,37 @@ class Warehouse:
         return row.asDict()
 
 
-def _metrics_rows(spark, wh: Warehouse, run_id, stage, df_out: DataFrame, wall_ms, lineage):
-    """Per-partition build metrics (FIXTURES.md §4 build_metrics schema)."""
-    per_part = (
-        df_out.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("n_rows"))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("stage", F.lit(stage))
-        .withColumn("n_bytes", F.lit(None).cast("long"))
-        .withColumn("wall_ms", F.lit(int(wall_ms)))
-        .withColumn("input_lineage", F.lit(lineage))
-        .select("run_id", "stage", "partition_id", "n_rows", "n_bytes", "wall_ms", "input_lineage")
+def _write_metrics(spark, wh: Warehouse, run_id, stage, rows: list[tuple], wall_ms, lineage):
+    """build_metrics rows (FIXTURES.md §4). rows = [(partition_id, n_rows,
+    n_bytes)]; counts come from Observation on the write itself — no
+    re-scan of stage output. Written driver-side with pyarrow (a 1-row
+    Spark job costs seconds of scheduler overhead); Spark reads the dir
+    like any parquet table."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "run_id": pa.array([run_id] * len(rows), pa.string()),
+            "stage": pa.array([stage] * len(rows), pa.string()),
+            "partition_id": pa.array([int(p) for p, _, _ in rows], pa.int32()),
+            "n_rows": pa.array([int(n) for _, n, _ in rows], pa.int64()),
+            "n_bytes": pa.array([None if b is None else int(b) for _, _, b in rows], pa.int64()),
+            "wall_ms": pa.array([int(wall_ms)] * len(rows), pa.int64()),
+            "input_lineage": pa.array([lineage] * len(rows), pa.string()),
+        }
     )
-    per_part.write.mode("append").parquet(wh.path("build_metrics"))
+    os.makedirs(wh.path("build_metrics"), exist_ok=True)
+    pq.write_table(table, os.path.join(wh.path("build_metrics"), f"part-{run_id}-{stage}-{uuid.uuid4().hex}.parquet"))
+
+
+def _observed(df: DataFrame, stage: str):
+    from pyspark.sql import Observation
+
+    obs = Observation(f"obs_{stage}")
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
 
 
 def _stage_done(wh: Warehouse, stage: str, input_id: str, resume: bool) -> bool:
@@ -129,49 +147,77 @@ def _stage_done(wh: Warehouse, stage: str, input_id: str, resume: bool) -> bool:
     return bool(resume and m and m.get("input_id") == input_id and m.get("ok"))
 
 
-def _make_block_builder(block_size: int, avgdl: float):
-    """applyInPandas kernel: one (term, salt) group -> compressed blocks.
-
-    numpy-vectorized per block; the per-block python loop is over blocks
-    (len/block_size iterations), not rows — the row-level work (sort,
-    delta, varint) is all ndarray ops.
+def _make_block_mapper(block_size: int, avgdl: float):
+    """mapInPandas kernel over data sorted by (term, salt, doc_id) within
+    the partition: emits compressed blocks for every complete (term, salt)
+    group in each Arrow batch, carrying the trailing (possibly split)
+    group into the next batch. This avoids applyInPandas' per-group
+    invocation cost (~100k tiny pandas groups would dominate the stage);
+    row-level work is all ndarray ops.
     """
 
-    def build_blocks(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt, bucket = key
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        doc_lens = pdf["doc_len"].to_numpy()[order].astype(np.int64)
-        positions = pdf["positions"].to_numpy()[order]
-        # idf-free BM25 factor per posting (vectorized)
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        bucket = pdf["bucket"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+        tfs = pdf["tf"].to_numpy().astype(np.int64)
+        doc_lens = pdf["doc_len"].to_numpy().astype(np.int64)
+        positions = pdf["positions"].to_numpy()
         denom = tfs + K1 * (1.0 - B + B * doc_lens / max(avgdl, 1e-9))
         wand = tfs * (K1 + 1.0) / denom
-        rows = []
-        for b0 in range(0, len(doc_ids), block_size):
-            b1 = min(b0 + block_size, len(doc_ids))
-            ids = doc_ids[b0:b1]
-            btf = tfs[b0:b1]
-            rows.append(
-                {
-                    "term": term,
-                    "salt": int(salt),
-                    "block_id": b0 // block_size,
-                    "min_doc_id": int(ids[0]),
-                    "max_doc_id": int(ids[-1]),
-                    "n_docs": int(b1 - b0),
-                    "doc_ids": encode_ids_signed(ids),
-                    "tfs": varint_encode(btf.astype(np.uint64)),
-                    "doc_lens": varint_encode(doc_lens[b0:b1].astype(np.uint64)),
-                    "positions": encode_positions([np.asarray(p, dtype=np.uint64) for p in positions[b0:b1]]),
-                    "block_max_tf": int(btf.max()),
-                    "block_max_wand": float(wand[b0:b1].max()),
-                    "bucket": int(bucket),
-                }
-            )
-        return pd.DataFrame(rows)
+        n = len(pdf)
+        change = np.flatnonzero((term[1:] != term[:-1]) | (salt[1:] != salt[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        out: dict[str, list] = {k: [] for k in (
+            "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
+            "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand", "bucket")}
+        for s, e in zip(starts, ends):
+            for b0 in range(s, e, block_size):
+                b1 = min(b0 + block_size, e)
+                ids = doc_ids[b0:b1]
+                btf = tfs[b0:b1]
+                out["term"].append(term[s])
+                out["salt"].append(int(salt[s]))
+                out["block_id"].append((b0 - s) // block_size)
+                out["min_doc_id"].append(int(ids[0]))
+                out["max_doc_id"].append(int(ids[-1]))
+                out["n_docs"].append(int(b1 - b0))
+                out["doc_ids"].append(encode_ids_signed(ids))
+                out["tfs"].append(varint_encode(btf.astype(np.uint64)))
+                out["doc_lens"].append(varint_encode(doc_lens[b0:b1].astype(np.uint64)))
+                out["positions"].append(
+                    encode_positions([np.asarray(p, dtype=np.uint64) for p in positions[b0:b1]])
+                )
+                out["block_max_tf"].append(int(btf.max()))
+                out["block_max_wand"].append(float(wand[b0:b1].max()))
+                out["bucket"].append(int(bucket[s]))
+        return pd.DataFrame(out)
 
-    return build_blocks
+    def mapper(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing (term, salt) group — it may continue
+            # in the next batch (sorted input => groups are contiguous)
+            term = pdf["term"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            lt, ls = term[-1], salt[-1]
+            cut = len(pdf) - 1
+            while cut > 0 and term[cut - 1] == lt and salt[cut - 1] == ls:
+                cut -= 1
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return mapper
 
 
 def build_index(
@@ -202,35 +248,41 @@ def build_index(
         {"n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df, "n_salts": n_salts, "k1": K1, "b": B},
     )
 
-    def finish(stage, df_out, t0, n_rows=None):
+    def finish(stage, t0, rows):
         wall = (time.time() - t0) * 1000
-        _metrics_rows(spark, wh, run_id, stage, df_out, wall, input_id)
-        wh.write_manifest(stage, {"run_id": run_id, "stage": stage, "input_id": input_id, "ok": True, "wall_ms": wall, "n_rows": n_rows})
+        _write_metrics(spark, wh, run_id, stage, rows, wall, input_id)
+        wh.write_manifest(
+            stage,
+            {"run_id": run_id, "stage": stage, "input_id": input_id, "ok": True, "wall_ms": wall,
+             "n_rows": sum(r[1] for r in rows)},
+        )
 
     # ---- stage: extract ----------------------------------------------------
+    # one pass writes the whole docs table (identity + doc_len + extracted
+    # text); later consumers read it with column pruning, so a separate
+    # docs_text checkpoint would only add a stage boundary.
     if not _stage_done(wh, "extract", input_id, resume):
         t0 = time.time()
         has_doc_id = "doc_id" in pages.columns
         base = pages.withColumn(
             "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
         )
+        # A few giant input files would serialize the extraction UDF; make
+        # sure the scan fans out to every core (at cluster scale the input
+        # is already thousands of files and this is a no-op).
+        target = spark.sparkContext.defaultParallelism * 2
+        if base.rdd.getNumPartitions() < target:
+            base = base.repartition(target)
         text = extracted_text_col() if from_html else F.col("text")
-        dt = base.select("doc_id", "url", "warc_ts", "lang", text.alias("text"))
-        dt.write.mode("overwrite").parquet(wh.path("docs_text"))
-        finish("extract", spark.read.parquet(wh.path("docs_text")), t0)
-
-    docs_text = spark.read.parquet(wh.path("docs_text"))
-
-    # ---- stage: docs -------------------------------------------------------
-    if not _stage_done(wh, "docs", input_id, resume):
-        t0 = time.time()
-        docs = docs_text.select(
-            "doc_id", "url", "warc_ts", "lang", F.size(tokens_col("text")).alias("doc_len")
+        dt = base.select("doc_id", "url", "warc_ts", "lang", text.alias("text")).withColumn(
+            "doc_len", F.size(tokens_col("text"))
         )
-        docs.write.mode("overwrite").parquet(wh.path("docs"))
-        finish("docs", spark.read.parquet(wh.path("docs")), t0)
+        dt, obs = _observed(dt, "extract")
+        dt.write.mode("overwrite").parquet(wh.path("docs"))
+        finish("extract", t0, [(-1, obs.get["n_rows"], None)])
 
     docs = spark.read.parquet(wh.path("docs"))
+    docs_text = docs  # column-pruned at every consumer
 
     # ---- stage: flat postings ----------------------------------------------
     if not _stage_done(wh, "flat", input_id, resume):
@@ -254,8 +306,12 @@ def build_index(
             )
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         )
-        flat.write.mode("overwrite").partitionBy("bucket").parquet(wh.path("postings_flat"))
-        finish("flat", spark.read.parquet(wh.path("postings_flat")), t0)
+        flat, obs = _observed(flat, "flat")
+        # NOT partitionBy(bucket): every consumer (term_stats, blocks) is a
+        # full scan, and Hive-partitioning here would fan out into
+        # shuffle_partitions x n_buckets tiny files.
+        flat.write.mode("overwrite").parquet(wh.path("postings_flat"))
+        finish("flat", t0, [(-1, obs.get["n_rows"], None)])
 
     flat = spark.read.parquet(wh.path("postings_flat"))
 
@@ -266,14 +322,15 @@ def build_index(
             F.count("*").cast("long").alias("df"),
             F.sum("tf").cast("long").alias("cf"),
         )
+        ts, obs = _observed(ts, "term_stats")
         ts.write.mode("overwrite").parquet(wh.path("term_stats"))
         cs = docs.agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("total_tokens"),
         )
-        cs.write.mode("overwrite").parquet(wh.path("corpus_stats"))
-        finish("term_stats", spark.read.parquet(wh.path("term_stats")), t0)
+        cs.coalesce(1).write.mode("overwrite").parquet(wh.path("corpus_stats"))
+        finish("term_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     # ---- stage: compressed blocks ------------------------------------------
     if not _stage_done(wh, "blocks", input_id, resume):
@@ -293,10 +350,35 @@ def build_index(
             )
             .drop("is_hot")
         )
-        blocks = salted.groupBy("term", "salt", "bucket").applyInPandas(
-            _make_block_builder(block_size, avgdl), BLOCK_SCHEMA
+        # co-locate each (term, salt) group, sort by doc_id, then stream
+        # blocks out via mapInPandas (see _make_block_mapper)
+        pre = salted.repartition(F.col("term"), F.col("salt")).sortWithinPartitions(
+            "term", "salt", "doc_id"
         )
+        blocks = pre.mapInPandas(_make_block_mapper(block_size, avgdl), BLOCK_SCHEMA)
+        blocks, obs = _observed(blocks, "blocks")
+        # one output file per bucket dir (queries partition-prune on the
+        # bucket; without this the write fans out into thousands of
+        # ~10-row files). At cluster scale raise n_buckets so a bucket
+        # stays ~file-sized, or add a second repartition key here.
+        blocks = blocks.repartition(n_buckets, "bucket")
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(wh.path("postings"))
-        finish("blocks", spark.read.parquet(wh.path("postings")), t0)
+        n_blocks = obs.get["n_rows"]
+        # per-bucket lineage rows from parquet FOOTERS (driver-side pyarrow
+        # metadata walk — no Spark job)
+        import glob as _glob
 
+        import pyarrow.parquet as _pq
+
+        per_bucket = []
+        for bdir in sorted(_glob.glob(os.path.join(wh.path("postings"), "bucket=*"))):
+            bid = int(os.path.basename(bdir).split("=")[1])
+            n = sum(_pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(os.path.join(bdir, "*.parquet")))
+            nb = sum(os.path.getsize(f) for f in _glob.glob(os.path.join(bdir, "*.parquet")))
+            per_bucket.append((bid, n, nb))
+        finish("blocks", t0, per_bucket or [(-1, n_blocks, None)])
+
+    from .query import invalidate_cache  # lazy: query imports Warehouse from here
+
+    invalidate_cache(wh.root)
     return wh

@@ -40,26 +40,44 @@ from .oracle import parse_query
 RESULT_SCHEMA = "doc_id long, score double"
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len int"
 
-
-def _load_cfg(wh: Warehouse) -> dict:
-    cfg = wh.read_manifest("config")
-    if not cfg:
-        raise FileNotFoundError(f"no config manifest under {wh.root}")
-    return cfg
+# per-warehouse session cache: config + corpus stats + memoized term->bucket
+# (repeated searches skip 2 parquet reads and the bucket-hash job)
+_WH_CACHE: dict[str, dict] = {}
 
 
-def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
-    if not terms:
-        return {}
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")).collect()
-    return {r["term"]: r["b"] for r in rows}
+def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
+    st = _WH_CACHE.get(wh.root)
+    if st is None:
+        cfg = wh.read_manifest("config")
+        if not cfg:
+            raise FileNotFoundError(f"no config manifest under {wh.root}")
+        st = {"cfg": cfg, "stats": wh.corpus_stats(spark), "buckets": {}}
+        _WH_CACHE[wh.root] = st
+    return st
 
 
-def _postings_for(spark, wh: Warehouse, terms: list[str], n_buckets: int) -> DataFrame:
+def invalidate_cache(root: str | None = None) -> None:
+    if root is None:
+        _WH_CACHE.clear()
+    else:
+        _WH_CACHE.pop(root, None)
+
+
+def _term_buckets(spark: SparkSession, st: dict, terms: list[str]) -> dict[str, int]:
+    """xxhash64 bucket per term, via one tiny JVM job; memoized."""
+    missing = [t for t in terms if t not in st["buckets"]]
+    if missing:
+        n_buckets = int(st["cfg"]["n_buckets"])
+        df = spark.createDataFrame([(t,) for t in missing], "term string")
+        rows = df.select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")).collect()
+        st["buckets"].update({r["term"]: r["b"] for r in rows})
+    return {t: st["buckets"][t] for t in terms}
+
+
+def _postings_for(spark, wh: Warehouse, st: dict, terms: list[str]) -> DataFrame:
     """Partition-pruned block scan for the given terms (bucket dirs are
     Hive partitions -> only the needed shards are read)."""
-    buckets = sorted(set(_term_buckets(spark, terms, n_buckets).values()))
+    buckets = sorted(set(_term_buckets(spark, st, terms).values()))
     df = spark.read.parquet(wh.path("postings"))
     return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
@@ -105,10 +123,10 @@ def _score_decoded(decoded: DataFrame, idf_map: dict[str, float], avgdl: float) 
     return decoded.withColumn("tscore", idf_col * F.col("tf") * F.lit(K1 + 1.0) / denom)
 
 
-def _neg_docs(spark, wh, neg: list[str], n_buckets: int) -> DataFrame | None:
+def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
     if not neg:
         return None
-    return _decode_blocks(_postings_for(spark, wh, neg, n_buckets)).select("doc_id").distinct()
+    return _decode_blocks(_postings_for(spark, wh, st, neg)).select("doc_id").distinct()
 
 
 def _agg_topk(scored: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
@@ -136,15 +154,15 @@ def search(
     """BM25 top-k. Returns DataFrame(doc_id, score[, url]) already ordered
     (score DESC, doc_id ASC) and limited to k."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
-    cfg = _load_cfg(wh)
-    n_buckets = int(cfg["n_buckets"])
+    st = _wh_state(spark, wh)
     pos, neg = parse_query(query)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if not pos:
         return empty
 
-    stats = wh.corpus_stats(spark)
+    stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    _term_buckets(spark, st, pos + neg)  # one hash job for all terms
     ts = (
         spark.read.parquet(wh.path("term_stats"))
         .filter(F.col("term").isin(pos))
@@ -157,8 +175,8 @@ def search(
         return empty
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
-    blocks = _postings_for(spark, wh, live, n_buckets)
-    neg_docs = _neg_docs(spark, wh, neg, n_buckets)
+    blocks = _postings_for(spark, wh, st, live)
+    neg_docs = _neg_docs(spark, wh, st, neg)
 
     if prune and len(live) >= 1:
         topk = _search_pruned(spark, blocks, idf_map, avgdl, live, mode, neg_docs, k, candidate_blocks_per_term)

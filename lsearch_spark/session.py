@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # shuffle/spill on tmpfs when available: the sandbox's /tmp is a
+    # virtio disk whose IOPS collapse under 32-way concurrent writers
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

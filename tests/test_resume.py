@@ -1,0 +1,75 @@
+"""Resume semantics (SURVEY §5.2.5): interrupted builds restart from the
+last completed stage; completed stages are skipped; output is identical."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsearch_spark.build import Warehouse, build_index
+from lsearch_spark.corpus import pages_df
+from lsearch_spark.query import search
+
+
+def _postings_snapshot(spark, wh):
+    rows = spark.read.parquet(wh.path("postings")).select(
+        "term", "salt", "block_id", F.md5(F.col("doc_ids")).alias("h")
+    ).collect()
+    return sorted((r["term"], r["salt"], r["block_id"], r["h"]) for r in rows)
+
+
+def test_resume_skips_and_reproduces(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 80)
+    kw = dict(n_buckets=2, block_size=16, hot_df=32, n_salts=2, input_id="c80")
+    wh = build_index(spark, pages, root, **kw)
+    snap1 = _postings_snapshot(spark, wh)
+
+    # simulate a crash after 'flat': wipe the manifests of later stages
+    os.remove(wh.manifest_path("term_stats"))
+    os.remove(wh.manifest_path("blocks"))
+    wh2 = build_index(spark, pages, root, **kw)
+    assert _postings_snapshot(spark, wh2) == snap1
+
+    # a changed input_id invalidates every stage (fingerprint mismatch)
+    m = wh.read_manifest("extract")
+    assert m["input_id"] == "c80" and m["ok"]
+
+
+def test_metrics_logged_per_stage(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    build_index(spark, pages_df(spark, 50), root, n_buckets=2, block_size=16, input_id="c50")
+    metrics = spark.read.parquet(os.path.join(root, "build_metrics"))
+    stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
+    assert stages == {"extract", "flat", "term_stats", "blocks"}
+    assert metrics.filter(F.col("n_rows") <= 0).count() == 0
+    assert metrics.filter(F.col("input_lineage") != "c50").count() == 0
+
+
+def test_rerun_appends_no_duplicate_stage_metrics(spark, tmp_path):
+    """After a kill/rerun cycle, each re-run stage logs again (append), but
+    completed stages don't — manifests gate the work (FIXTURES §4)."""
+    root = str(tmp_path / "wh")
+    kw = dict(n_buckets=2, block_size=16, input_id="c50")
+    wh = build_index(spark, pages_df(spark, 50), root, **kw)
+    metrics0 = spark.read.parquet(wh.path("build_metrics")).count()
+    build_index(spark, pages_df(spark, 50), root, **kw)  # full skip
+    assert spark.read.parquet(wh.path("build_metrics")).count() == metrics0
+
+    before = spark.read.parquet(wh.path("build_metrics"))
+    extract_before = before.filter(F.col("stage") == "extract").count()
+    blocks_before = before.filter(F.col("stage") == "blocks").count()
+    os.remove(wh.manifest_path("blocks"))
+    build_index(spark, pages_df(spark, 50), root, **kw)  # only blocks re-runs
+    after = spark.read.parquet(wh.path("build_metrics"))
+    assert after.filter(F.col("stage") == "extract").count() == extract_before
+    assert after.filter(F.col("stage") == "blocks").count() > blocks_before
+
+
+def test_search_works_after_resume(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    wh = build_index(spark, pages_df(spark, 80), root, n_buckets=2, block_size=16, input_id="c80")
+    os.remove(wh.manifest_path("blocks"))
+    wh = build_index(spark, pages_df(spark, 80), root, n_buckets=2, block_size=16, input_id="c80")
+    assert search(spark, wh, "biology").count() > 0
