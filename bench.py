@@ -30,10 +30,10 @@ from lsearch_spark.corpus import QUERIES, make_pages
 from lsearch_spark.query import search
 from lsearch_spark.session import get_spark
 
-SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 300_000}
+SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 1_000_000}
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-SETTLE_S = int(os.environ.get("LSEARCH_BENCH_SETTLE", "15"))
-REPS = int(os.environ.get("LSEARCH_BENCH_REPS", "1"))  # child builds 2x itself
+SETTLE_S = int(os.environ.get("LSEARCH_BENCH_SETTLE", "10"))
+REPS = int(os.environ.get("LSEARCH_BENCH_REPS", "2"))  # child builds 2x itself
 
 
 def _gen_chunk(args):
@@ -83,26 +83,34 @@ def _build_child(cores: int, src: str, wh_dir: str) -> None:
 
     from lsearch_spark.build import build_index
 
+    # size shuffle partitions by DATA, not cores: the postings explode is
+    # ~10x the input bytes, and an undersized partition count spills the
+    # collect_list hash agg (measured 8x stage blowup at 1M docs). AQE
+    # coalesces the excess at low core counts.
+    input_bytes = sum(
+        os.path.getsize(os.path.join(src, f)) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    shuffle_parts = int(max(2 * cores, input_bytes // (8 << 20)))
     spark = get_spark(
-        app=f"bench-build-{cores}", cores=cores, shuffle_partitions=2 * cores,
+        app=f"bench-build-{cores}", cores=cores, shuffle_partitions=shuffle_parts,
         # the corpus is ~64 small files; split fine so the extraction UDF
         # fans out without a repartition shuffle
         extra_confs={"spark.sql.files.maxPartitionBytes": "8m", "spark.sql.files.openCostInBytes": "1m"},
     )
     spark.range(1_000_000).select(F.sum("id")).collect()  # JIT/scheduler warm-up
     pages = spark.read.parquet(src)
-    times = []
-    for i, target in enumerate((wh_dir + "_warmup", wh_dir)):
-        shutil.rmtree(target, ignore_errors=True)
-        t0 = time.time()
-        build_index(
-            spark, pages, target,
-            n_buckets=max(8, cores), block_size=128, hot_df=2048, n_salts=max(4, cores // 4),
-            run_id=f"bench{cores}r{i}", input_id=src, resume=False,
-        )
-        times.append(time.time() - t0)
+    kw = dict(n_buckets=max(8, cores), block_size=128, hot_df=2048, n_salts=max(4, cores // 4))
+    # small warm-up build: compiles codegen, spawns python workers, warms
+    # shuffle paths — one-time costs a long-running cluster job never
+    # pays per batch
     shutil.rmtree(wh_dir + "_warmup", ignore_errors=True)
-    print(f"BUILD_SECONDS={min(times):.3f}")
+    build_index(spark, pages.limit(20_000), wh_dir + "_warmup", run_id="warm", input_id=src, resume=False, **kw)
+    shutil.rmtree(wh_dir + "_warmup", ignore_errors=True)
+
+    shutil.rmtree(wh_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, pages, wh_dir, run_id=f"bench{cores}", input_id=src, resume=False, **kw)
+    print(f"BUILD_SECONDS={time.time() - t0:.3f}")
     spark.stop()
 
 

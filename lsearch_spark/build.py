@@ -53,7 +53,7 @@ from pyspark.sql.types import (
 )
 
 from . import B, BLOCK_SIZE, K1
-from .codec import encode_ids_signed, encode_positions, varint_encode
+from .codec import i64_to_u64_order, varint_encode_segmented
 from .extract import extracted_text_col
 from .tokenize import tokens_col
 
@@ -135,11 +135,32 @@ def _write_metrics(spark, wh: Warehouse, run_id, stage, rows: list[tuple], wall_
     pq.write_table(table, os.path.join(wh.path("build_metrics"), f"part-{run_id}-{stage}-{uuid.uuid4().hex}.parquet"))
 
 
-def _observed(df: DataFrame, stage: str):
+def _observed(df: DataFrame, stage: str, *extra_aggs):
     from pyspark.sql import Observation
 
     obs = Observation(f"obs_{stage}")
-    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows"), *extra_aggs), obs
+
+
+def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
+    """Single-row stats table, written driver-side (pyarrow) — schema:
+    n_docs long, avgdl double, total_tokens long."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import shutil as _sh
+
+    _sh.rmtree(wh.path("corpus_stats"), ignore_errors=True)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    table = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "avgdl": pa.array([avgdl], pa.float64()),
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+        }
+    )
+    os.makedirs(wh.path("corpus_stats"), exist_ok=True)
+    pq.write_table(table, os.path.join(wh.path("corpus_stats"), "part-0.parquet"))
 
 
 def _stage_done(wh: Warehouse, stage: str, input_id: str, resume: bool) -> bool:
@@ -148,73 +169,134 @@ def _stage_done(wh: Warehouse, stage: str, input_id: str, resume: bool) -> bool:
 
 
 def _make_block_mapper(block_size: int, avgdl: float):
-    """mapInPandas kernel over data sorted by (term, salt, doc_id) within
+    """mapInArrow kernel over data sorted by (term, salt, doc_id) within
     the partition: emits compressed blocks for every complete (term, salt)
     group in each Arrow batch, carrying the trailing (possibly split)
-    group into the next batch. This avoids applyInPandas' per-group
-    invocation cost (~100k tiny pandas groups would dominate the stage);
-    row-level work is all ndarray ops.
-    """
+    group into the next batch.
 
-    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].to_numpy()
-        salt = pdf["salt"].to_numpy()
-        bucket = pdf["bucket"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-        tfs = pdf["tf"].to_numpy().astype(np.int64)
-        doc_lens = pdf["doc_len"].to_numpy().astype(np.int64)
-        positions = pdf["positions"].to_numpy()
+    Arrow-native on purpose: the positions column is a list<int> whose
+    values/offsets buffers convert to numpy ZERO-COPY, so the per-doc
+    delta-gap encoding is one vectorized pass over every position in the
+    batch (a pandas path would materialize millions of python list
+    objects). Per-block python work is slicing + one varint encode.
+    """
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    def _group_bounds(tbl: pa.Table):
+        """change points of (term, salt) without materializing python
+        strings — pc.not_equal is a C++ kernel over the whole column."""
+        n = tbl.num_rows
+        tcol = tbl["term"].combine_chunks()
+        salt = tbl["salt"].to_numpy(zero_copy_only=False)
+        if n <= 1:
+            return np.array([], dtype=np.int64), tcol, salt
+        neq_t = pc.not_equal(tcol.slice(1), tcol.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        neq = neq_t | (salt[1:] != salt[:-1])
+        return np.flatnonzero(neq), tcol, salt
+
+    def emit(tbl: pa.Table) -> pa.RecordBatch:
+        change, tcol, salt = _group_bounds(tbl)
+        bucket = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_lens = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_arr = tbl["positions"].combine_chunks()
+        # offsets index into the (possibly unsliced) child values buffer;
+        # .values and .offsets are always mutually consistent, so absolute
+        # indexing is correct whether or not the array was sliced
+        offsets = np.asarray(pos_arr.offsets, dtype=np.int64)  # len n+1
+        pvals = np.asarray(pos_arr.values).astype(np.uint64)
+
+        n = tbl.num_rows
+        gstarts = np.concatenate(([0], change + 1))
+        gends = np.concatenate((gstarts[1:], [n]))
+
+        # ---- block boundary vectors (no per-group python) ----
+        glens = gends - gstarts
+        nblk = -(-glens // block_size)
+        total = int(nblk.sum())
+        gi_rep = np.repeat(np.arange(len(gstarts)), nblk)  # group id per block
+        first_blk = np.concatenate(([0], np.cumsum(nblk[:-1]))) if len(nblk) else np.array([], dtype=np.int64)
+        bidx = np.arange(total, dtype=np.int64) - np.repeat(first_blk, nblk)
+        bstarts = gstarts[gi_rep] + bidx * block_size
+        bends = np.minimum(bstarts + block_size, gends[gi_rep])
+
+        # ---- one-pass delta-gap: doc ids reset at BLOCK starts, positions
+        # reset at list starts; then ONE segmented varint per column ----
+        ids_u = i64_to_u64_order(doc_ids)
+        id_gaps = ids_u.copy()
+        if n > 1:
+            id_gaps[1:] = ids_u[1:] - ids_u[:-1]
+        id_gaps[bstarts] = ids_u[bstarts]
+
+        gaps = pvals.copy()
+        if len(pvals) > 1:
+            gaps[1:] = pvals[1:] - pvals[:-1]
+        lidx = offsets[:-1]
+        lidx = lidx[lidx < len(pvals)]  # guard: empty lists at the tail
+        gaps[lidx] = pvals[lidx]
+
+        ids_b = varint_encode_segmented(id_gaps, bstarts, bends)
+        tfs_b = varint_encode_segmented(tfs.astype(np.uint64), bstarts, bends)
+        dls_b = varint_encode_segmented(doc_lens.astype(np.uint64), bstarts, bends)
+        # positions bounds are ABSOLUTE value indexes into pvals/gaps
+        # (offsets and values come from the same ListArray and are always
+        # mutually consistent, sliced or not)
+        pos_b = (
+            varint_encode_segmented(gaps, offsets[bstarts], offsets[bends])
+            if len(pvals)
+            else [b""] * total
+        )
+
         denom = tfs + K1 * (1.0 - B + B * doc_lens / max(avgdl, 1e-9))
         wand = tfs * (K1 + 1.0) / denom
-        n = len(pdf)
-        change = np.flatnonzero((term[1:] != term[:-1]) | (salt[1:] != salt[:-1]))
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((starts[1:], [n]))
-        out: dict[str, list] = {k: [] for k in (
-            "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
-            "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand", "bucket")}
-        for s, e in zip(starts, ends):
-            for b0 in range(s, e, block_size):
-                b1 = min(b0 + block_size, e)
-                ids = doc_ids[b0:b1]
-                btf = tfs[b0:b1]
-                out["term"].append(term[s])
-                out["salt"].append(int(salt[s]))
-                out["block_id"].append((b0 - s) // block_size)
-                out["min_doc_id"].append(int(ids[0]))
-                out["max_doc_id"].append(int(ids[-1]))
-                out["n_docs"].append(int(b1 - b0))
-                out["doc_ids"].append(encode_ids_signed(ids))
-                out["tfs"].append(varint_encode(btf.astype(np.uint64)))
-                out["doc_lens"].append(varint_encode(doc_lens[b0:b1].astype(np.uint64)))
-                out["positions"].append(
-                    encode_positions([np.asarray(p, dtype=np.uint64) for p in positions[b0:b1]])
-                )
-                out["block_max_tf"].append(int(btf.max()))
-                out["block_max_wand"].append(float(wand[b0:b1].max()))
-                out["bucket"].append(int(bucket[s]))
-        return pd.DataFrame(out)
+        bmax_tf = np.maximum.reduceat(tfs, bstarts) if total else np.array([], dtype=np.int64)
+        bmax_wand = np.maximum.reduceat(wand, bstarts) if total else np.array([], dtype=np.float64)
+
+        # python strings materialized ONLY at group starts
+        start_terms = tcol.take(pa.array(gstarts)).to_pylist()
+        terms_per_block = [start_terms[g] for g in gi_rep]
+
+        return pa.record_batch(
+            [
+                pa.array(terms_per_block, pa.string()),
+                pa.array(salt[bstarts].astype(np.int32) if total else [], pa.int32()),
+                pa.array(bidx.astype(np.int32), pa.int32()),
+                pa.array(doc_ids[bstarts] if total else [], pa.int64()),
+                pa.array(doc_ids[bends - 1] if total else [], pa.int64()),
+                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+                pa.array(ids_b, pa.binary()),
+                pa.array(tfs_b, pa.binary()),
+                pa.array(dls_b, pa.binary()),
+                pa.array(pos_b, pa.binary()),
+                pa.array(bmax_tf.astype(np.int32), pa.int32()),
+                pa.array(bmax_wand.astype(np.float64), pa.float64()),
+                pa.array(bucket[bstarts].astype(np.int32) if total else [], pa.int32()),
+            ],
+            names=[
+                "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
+                "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand", "bucket",
+            ],
+        )
 
     def mapper(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        carry: pa.Table | None = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            if not tbl.num_rows:
                 continue
             # hold back the trailing (term, salt) group — it may continue
             # in the next batch (sorted input => groups are contiguous)
-            term = pdf["term"].to_numpy()
-            salt = pdf["salt"].to_numpy()
-            lt, ls = term[-1], salt[-1]
-            cut = len(pdf) - 1
-            while cut > 0 and term[cut - 1] == lt and salt[cut - 1] == ls:
-                cut -= 1
-            carry = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
-                yield emit(head)
-        if carry is not None and len(carry):
+            change, _, _ = _group_bounds(tbl)
+            cut = int(change[-1]) + 1 if len(change) else 0
+            carry = tbl.slice(cut)
+            if cut:
+                yield emit(tbl.slice(0, cut))
+        if carry is not None and carry.num_rows:
             yield emit(carry)
 
     return mapper
@@ -277,9 +359,13 @@ def build_index(
         dt = base.select("doc_id", "url", "warc_ts", "lang", text.alias("text")).withColumn(
             "doc_len", F.size(tokens_col("text"))
         )
-        dt, obs = _observed(dt, "extract")
+        dt, obs = _observed(dt, "extract", F.sum("doc_len").alias("total_tokens"))
         dt.write.mode("overwrite").parquet(wh.path("docs"))
-        finish("extract", t0, [(-1, obs.get["n_rows"], None)])
+        # corpus stats fall out of the same observation — no extra job
+        n_docs = int(obs.get["n_rows"])
+        total_tokens = int(obs.get["total_tokens"] or 0)
+        _write_corpus_stats(wh, n_docs, total_tokens)
+        finish("extract", t0, [(-1, n_docs, None)])
 
     docs = spark.read.parquet(wh.path("docs"))
     docs_text = docs  # column-pruned at every consumer
@@ -324,12 +410,6 @@ def build_index(
         )
         ts, obs = _observed(ts, "term_stats")
         ts.write.mode("overwrite").parquet(wh.path("term_stats"))
-        cs = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
-            F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("total_tokens"),
-        )
-        cs.coalesce(1).write.mode("overwrite").parquet(wh.path("corpus_stats"))
         finish("term_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     # ---- stage: compressed blocks ------------------------------------------
@@ -355,7 +435,7 @@ def build_index(
         pre = salted.repartition(F.col("term"), F.col("salt")).sortWithinPartitions(
             "term", "salt", "doc_id"
         )
-        blocks = pre.mapInPandas(_make_block_mapper(block_size, avgdl), BLOCK_SCHEMA)
+        blocks = pre.mapInArrow(_make_block_mapper(block_size, avgdl), BLOCK_SCHEMA)
         blocks, obs = _observed(blocks, "blocks")
         # one output file per bucket dir (queries partition-prune on the
         # bucket; without this the write fans out into thousands of

@@ -13,34 +13,51 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """uint64/int64 ndarray -> varint bytes. Values must be >= 0."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+# 128^1 .. 128^9: value v needs searchsorted(THRESH, v, 'right')+1 bytes
+_THRESH = (np.uint64(128) ** np.arange(1, 10, dtype=np.uint64)).astype(np.uint64)
+
+
+def _varint_bytes_into(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(encoded uint8 buffer, per-value byte counts) for a uint64 array."""
+    nbytes = (np.searchsorted(_THRESH, v, side="right") + 1).astype(np.int64)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    max_b = int(nbytes.max())
+    out = np.zeros(int(ends[-1]) if v.size else 0, dtype=np.uint8)
     rem = v.copy()
-    for i in range(max_b):
+    for i in range(int(nbytes.max()) if v.size else 0):
         active = nbytes > i
         idx = starts[active] + i
         chunk = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[active] > i + 1).astype(np.uint8) << 7
         out[idx] = chunk | cont
         rem[active] >>= np.uint64(7)
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64/int64 ndarray -> varint bytes. Values must be >= 0."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _ = _varint_bytes_into(v)
     return out.tobytes()
+
+
+def varint_encode_segmented(
+    values: np.ndarray, seg_starts: np.ndarray, seg_ends: np.ndarray
+) -> list[bytes]:
+    """Encode the WHOLE array in one vectorized pass, then slice per
+    segment (value-index bounds). Byte-identical to calling varint_encode
+    on each segment — varints are per-value independent. This is the
+    block-builder hot path: numpy op overhead amortizes over millions of
+    values instead of being paid per 128-value block."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(seg_starts))]
+    out, nbytes = _varint_bytes_into(v)
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    ob = out.tobytes()
+    return [ob[byte_off[s] : byte_off[e]] for s, e in zip(seg_starts, seg_ends)]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
