@@ -161,6 +161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_and_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and")
     q["bm25_negation_top10"] = lambda s, d: _bm25(s, d, "data -query")
 
+    q["bm25_less_top10"] = lambda s, d: _bm25(s, d, "data ~query")
+
+    def _phrase_docs(s, d):
+        from lsearch_spark.query import phrase_search
+
+        wh = _documents_wh(s, d)
+        return phrase_search(s, wh, "the data", k=100000).select("doc_id")
+
+    q["phrase_match_docs"] = _phrase_docs
+
     # --- dedup (training-data pipeline) ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_kept_ids"] = lambda s, d: dedup.drop_exact_dups(_docs(s, d)).select("doc_id")
@@ -275,6 +285,30 @@ GROUP BY tf.doc_id
 ORDER BY sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) DESC, tf.doc_id LIMIT 10
 """,
+        "bm25_less_top10": f"""
+WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+       WHERE term IN ('data', 'query') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       round(sum(CASE WHEN term = 'data' THEN c ELSE -c END), 5) AS score
+FROM contrib
+GROUP BY doc_id
+HAVING sum(CASE WHEN term = 'data' THEN 1 ELSE 0 END) > 0
+ORDER BY sum(CASE WHEN term = 'data' THEN c ELSE -c END) DESC, doc_id LIMIT 10
+""",
+        "phrase_match_docs": (
+            f"SELECT doc_id FROM documents "
+            f"WHERE contains(' ' || array_to_string({toks}, ' ') || ' ', ' the data ')"
+        ),
         "dedup_exact_groups": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),

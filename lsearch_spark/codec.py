@@ -138,3 +138,22 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
         out.append(delta_decode(flat[off : off + tf]))
         off += tf
     return out
+
+
+def decode_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized twin of decode_positions: one segmented cumsum instead
+    of a per-doc loop. Returns (values, offsets) with len(offsets) ==
+    len(tfs)+1; doc i's positions are values[offsets[i]:offsets[i+1]]."""
+    gaps = varint_decode(buf)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    if gaps.size == 0:
+        return gaps, offsets
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    starts = offsets[:-1][tfs > 0]
+    # subtract, for every element, the running total at its segment start
+    # (exclusive), restoring per-segment absolute positions
+    base_at_start = csum[starts] - gaps[starts]
+    lens = tfs[tfs > 0]
+    values = csum - np.repeat(base_at_start, lens)
+    return values, offsets

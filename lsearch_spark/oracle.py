@@ -111,22 +111,27 @@ def bm25_term_score(tf: int, dl: int, df: int, n_docs: int, avgdl: float) -> flo
     return idf(n_docs, df) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / max(avgdl, 1e-9)))
 
 
-def parse_query(query: str) -> tuple[list[str], list[str]]:
-    """'-term' = exclusion; terms normalized via the tokenizer; duplicates
-    dropped (order-preserving)."""
-    pos, neg = [], []
+def parse_query(query: str) -> tuple[list[str], list[str], list[str]]:
+    """'-term' = exclusion (reference Hasnt); '~term' = negative-weight
+    scoring (an honest implementation of the reference's declared-but-
+    never-implemented `less` scorer, cli.yaml:44-49 — it subtracts the
+    term's BM25 contribution instead of being silently ignored). Terms
+    normalized via the tokenizer; duplicates dropped (order-preserving)."""
+    pos, neg, less = [], [], []
     for raw in query.split():
-        bucket = neg if raw.startswith("-") else pos
-        for t in py_tokenize(raw.lstrip("-")):
+        bucket = neg if raw.startswith("-") else less if raw.startswith("~") else pos
+        for t in py_tokenize(raw.lstrip("-~")):
             if t not in bucket:
                 bucket.append(t)
-    return pos, neg
+    return pos, neg, less
 
 
 def bm25_topk(idx: PyIndex, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
     """Exhaustive BM25 top-k; returns [(doc_id, score)] with tie-break
-    (score desc, doc_id asc). mode='and' keeps only docs with all terms."""
-    pos, neg = parse_query(query)
+    (score desc, doc_id asc). mode='and' keeps only docs with all
+    positive terms. '~less' terms subtract their BM25 contribution from
+    docs already matched by positive terms (they never add candidates)."""
+    pos, neg, less = parse_query(query)
     scores: dict[int, float] = {}
     hits: dict[int, int] = {}
     for t in pos:
@@ -140,8 +145,43 @@ def bm25_topk(idx: PyIndex, query: str, k: int = 10, mode: str = "or") -> list[t
             hits[doc_id] = hits.get(doc_id, 0) + 1
     if mode == "and":
         scores = {d: s for d, s in scores.items() if hits[d] == len(pos)}
+    for t in less:
+        plist = idx.postings.get(t)
+        if not plist:
+            continue
+        df = len(plist)
+        for doc_id, tf in plist.items():
+            if doc_id in scores:
+                scores[doc_id] -= bm25_term_score(tf, idx.doc_len[doc_id], df, idx.n_docs, idx.avgdl)
     for t in neg:
         for doc_id in idx.postings.get(t, ()):  # exclusion
             scores.pop(doc_id, None)
     ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
     return ranked[:k]
+
+
+def phrase_topk(idx: PyIndex, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+    """Exact-phrase top-k: docs containing the tokens consecutively;
+    tf = number of phrase occurrences (overlapping counted); scored with
+    BM25 using df = number of phrase-matching docs."""
+    terms = py_tokenize(phrase)
+    if not terms:
+        return []
+    matches: dict[int, int] = {}
+    first = idx.positions.get(terms[0], {})
+    for doc_id, pos0 in first.items():
+        cand = set(pos0)
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = idx.positions.get(t, {}).get(doc_id)
+            if not nxt:
+                cand = set()
+                break
+            cand = {p + 1 for p in cand} & set(nxt)
+        if cand:
+            matches[doc_id] = len(cand)
+    df = len(matches)
+    scored = [
+        (d, bm25_term_score(tf, idx.doc_len[d], df, idx.n_docs, idx.avgdl))
+        for d, tf in matches.items()
+    ]
+    return sorted(scored, key=lambda x: (-x[1], x[0]))[:k]

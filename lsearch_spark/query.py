@@ -34,8 +34,9 @@ from pyspark.sql import functions as F
 
 from . import B, K1
 from .build import Warehouse
-from .codec import decode_ids_signed, varint_decode
+from .codec import decode_ids_signed, decode_positions_flat, varint_decode
 from .oracle import parse_query
+from .tokenize import py_tokenize
 
 RESULT_SCHEMA = "doc_id long, score double"
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len int"
@@ -155,22 +156,23 @@ def search(
     (score DESC, doc_id ASC) and limited to k."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
-    pos, neg = parse_query(query)
+    pos, neg, less = parse_query(query)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if not pos:
         return empty
 
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    _term_buckets(spark, st, pos + neg)  # one hash job for all terms
+    _term_buckets(spark, st, pos + neg + less)  # one hash job for all terms
     ts = (
         spark.read.parquet(wh.path("term_stats"))
-        .filter(F.col("term").isin(pos))
+        .filter(F.col("term").isin(pos + less))
         .select("term", "df")
         .collect()
     )
     dfs = {r["term"]: int(r["df"]) for r in ts}
     live = [t for t in pos if t in dfs]
+    live_less = [t for t in less if t in dfs]
     if not live or (mode == "and" and len(live) < len(pos)):
         return empty
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
@@ -178,11 +180,31 @@ def search(
     blocks = _postings_for(spark, wh, st, live)
     neg_docs = _neg_docs(spark, wh, st, neg)
 
-    if prune and len(live) >= 1:
+    if prune and not live_less:
+        # less-terms subtract score, so block upper bounds would no longer
+        # bound totals from above cheaply -> exhaustive path when present
         topk = _search_pruned(spark, blocks, idf_map, avgdl, live, mode, neg_docs, k, candidate_blocks_per_term)
     else:
         scored = _score_decoded(_decode_blocks(blocks), idf_map, avgdl)
-        topk = _agg_topk(scored, len(live), mode, neg_docs, k)
+        if live_less:
+            less_idf = {t: _idf(n_docs, dfs[t]) for t in live_less}
+            less_scored = _score_decoded(
+                _decode_blocks(_postings_for(spark, wh, st, live_less)), less_idf, avgdl
+            )
+            penalties = less_scored.groupBy("doc_id").agg(F.sum("tscore").alias("penalty"))
+            agg = scored.groupBy("doc_id").agg(
+                F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
+            )
+            if mode == "and":
+                agg = agg.filter(F.col("n_terms_hit") == len(live))
+            if neg_docs is not None:
+                agg = agg.join(neg_docs, "doc_id", "left_anti")
+            agg = agg.join(penalties, "doc_id", "left").withColumn(
+                "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
+            )
+            topk = agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        else:
+            topk = _agg_topk(scored, len(live), mode, neg_docs, k)
 
     if with_url:
         docs = spark.read.parquet(wh.path("docs")).select("doc_id", "url")
@@ -192,6 +214,99 @@ def search(
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
     return topk
+
+
+DECODED_POS_SCHEMA = "term string, doc_id long, tf int, doc_len int, positions array<int>"
+
+
+def _decode_blocks_with_positions(blocks: DataFrame) -> DataFrame:
+    """Like _decode_blocks but also restores per-doc position lists
+    (vectorized segmented cumsum, no per-doc python loop)."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, ids_b, tfs_b, dls_b, pos_b in zip(
+                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"], pdf["positions"]
+            ):
+                ids = decode_ids_signed(bytes(ids_b))
+                tfs = varint_decode(bytes(tfs_b))
+                dls = varint_decode(bytes(dls_b))
+                pvals, poffs = decode_positions_flat(bytes(pos_b), tfs)
+                pv32 = pvals.astype(np.int32)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": ids.astype(np.int64),
+                            "tf": tfs.astype(np.int32),
+                            "doc_len": dls.astype(np.int32),
+                            "positions": [pv32[poffs[i] : poffs[i + 1]] for i in range(len(ids))],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blocks.select("term", "doc_ids", "tfs", "doc_lens", "positions").mapInPandas(it, DECODED_POS_SCHEMA)
+
+
+def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, k: int = 10) -> DataFrame:
+    """Exact-phrase BM25 top-k over the positional index.
+
+    Adjacency is checked JVM-side by folding position arrays:
+    cand = positions(t0); cand = array_intersect(cand+1, positions(t1));
+    ... phrase tf = |cand| (overlapping occurrences counted). Scored as a
+    single BM25 'term' whose df = number of phrase-matching docs.
+    Returns DataFrame(doc_id, score, phrase_tf) ordered (score DESC,
+    doc_id ASC), limited to k.
+    """
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    terms = py_tokenize(phrase)
+    empty = spark.createDataFrame([], "doc_id long, score double, phrase_tf int")
+    if not terms:
+        return empty
+    stats = st["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    uniq = list(dict.fromkeys(terms))
+    decoded = _decode_blocks_with_positions(_postings_for(spark, wh, st, uniq)).cache()
+    try:
+        joined = None
+        for i, t in enumerate(terms):
+            side = decoded.filter(F.col("term") == t).select(
+                F.col("doc_id"),
+                F.col("positions").alias(f"pos_{i}"),
+                *( [F.col("doc_len")] if i == 0 else [] ),
+            )
+            joined = side if joined is None else joined.join(side, "doc_id")
+        cand = F.col("pos_0")
+        for i in range(1, len(terms)):
+            cand = F.array_intersect(F.transform(cand, lambda x: x + 1), F.col(f"pos_{i}"))
+        matches = joined.withColumn("phrase_tf", F.size(cand)).filter(F.col("phrase_tf") > 0).select(
+            "doc_id", "doc_len", "phrase_tf"
+        ).cache()
+        try:
+            df_count = matches.count()  # phrase df for idf (tiny second job)
+            if df_count == 0:
+                return empty
+            idf = _idf(n_docs, df_count)
+            denom = F.col("phrase_tf") + F.lit(K1) * (
+                F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(max(avgdl, 1e-9))
+            )
+            top = (
+                matches.withColumn("score", F.lit(idf) * F.col("phrase_tf") * F.lit(K1 + 1.0) / denom)
+                .select("doc_id", "score", "phrase_tf")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+            # materialize before unpersisting the inputs it derives from
+            return spark.createDataFrame(top.collect(), "doc_id long, score double, phrase_tf int")
+        finally:
+            matches.unpersist()
+    finally:
+        decoded.unpersist()
 
 
 def _search_pruned(spark, blocks, idf_map, avgdl, live, mode, neg_docs, k, cand_per_term):

@@ -115,6 +115,31 @@ def test_with_url(spark, wh):
     assert len(rows) == 3 and all(r["url"].startswith("https://") for r in rows)
 
 
+@pytest.mark.parametrize("q", ["biology ~chemistry", "the ~biology ~physics", "~quantum neural"])
+def test_less_terms_match_oracle(spark, wh, pyidx, q):
+    from lsearch_spark.oracle import bm25_topk as oracle_topk
+
+    want = oracle_topk(pyidx, q, k=10)
+    got = search(spark, wh, q, k=10).collect()
+    assert_rank_identical(got, want)
+
+
+@pytest.mark.parametrize("phrase", ["quantum flux", "tiebreak quantum flux", "spark spark", "the biology", "absentterm biology"])
+def test_phrase_search_matches_oracle(spark, wh, pyidx, phrase):
+    from lsearch_spark.oracle import phrase_topk
+    from lsearch_spark.query import phrase_search
+
+    want = phrase_topk(pyidx, phrase, k=10)
+    got = phrase_search(spark, wh, phrase, k=10).collect()
+    assert_rank_identical(got, [(d, s) for d, s in want])
+    # phrase_tf sanity on the max-tf doc
+    if phrase == "spark spark" and got:
+        spark_doc = max(pyidx.postings["spark"].items(), key=lambda kv: kv[1])[0]
+        tfs = {r["doc_id"]: r["phrase_tf"] for r in got}
+        if spark_doc in tfs:
+            assert tfs[spark_doc] == pyidx.postings["spark"][spark_doc] - 1
+
+
 def test_tiebreak_deterministic(spark, wh):
     rows = search(spark, wh, "tiebreak", k=10).collect()
     assert len(rows) == 2
