@@ -52,9 +52,29 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
         cfg = wh.read_manifest("config")
         if not cfg:
             raise FileNotFoundError(f"no config manifest under {wh.root}")
-        st = {"cfg": cfg, "stats": wh.corpus_stats(spark), "buckets": {}}
+        st = {
+            "cfg": cfg,
+            "stats": wh.corpus_stats(spark),
+            "buckets": {},
+            "dfs": {},  # per-term document frequency (scale-safe memo:
+            # only queried terms, never the full term_stats table)
+            "postings_rel": spark.read.parquet(wh.path("postings")),  # keeps
+            # the FileIndex warm across queries (re-listing bucket dirs per
+            # query is pure metadata overhead)
+            "term_stats_rel": spark.read.parquet(wh.path("term_stats")),
+        }
         _WH_CACHE[wh.root] = st
     return st
+
+
+def _term_dfs(spark, st: dict, terms: list[str]) -> dict[str, int]:
+    missing = [t for t in terms if t not in st["dfs"]]
+    if missing:
+        rows = st["term_stats_rel"].filter(F.col("term").isin(missing)).select("term", "df").collect()
+        found = {r["term"]: int(r["df"]) for r in rows}
+        for t in missing:
+            st["dfs"][t] = found.get(t)  # None = not in corpus (memoized too)
+    return {t: st["dfs"][t] for t in terms if st["dfs"][t] is not None}
 
 
 def invalidate_cache(root: str | None = None) -> None:
@@ -79,35 +99,39 @@ def _postings_for(spark, wh: Warehouse, st: dict, terms: list[str]) -> DataFrame
     """Partition-pruned block scan for the given terms (bucket dirs are
     Hive partitions -> only the needed shards are read)."""
     buckets = sorted(set(_term_buckets(spark, st, terms).values()))
-    df = spark.read.parquet(wh.path("postings"))
-    return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    return st["postings_rel"].filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
 
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Compressed blocks -> (term, doc_id, tf, doc_len). numpy-vectorized
-    per block inside Arrow batches (loop over blocks, not rows)."""
+    """Compressed blocks -> (term, doc_id, tf, doc_len), decoded with
+    whole-batch numpy passes: varint streams concatenate losslessly, so
+    ALL blocks in an Arrow batch decode in one call; per-block delta
+    resets are restored with a segmented cumsum (no per-block python)."""
+    from .codec import u64_to_i64_order
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
-            for term, ids_b, tfs_b, dls_b in zip(pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]):
-                ids = decode_ids_signed(np.frombuffer(ids_b, dtype=np.uint8).tobytes())
-                tfs = varint_decode(bytes(tfs_b))
-                dls = varint_decode(bytes(dls_b))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "doc_id": ids.astype(np.int64),
-                            "tf": tfs.astype(np.int32),
-                            "doc_len": dls.astype(np.int32),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if not len(pdf):
+                continue
+            nd = pdf["n_docs"].to_numpy().astype(np.int64)
+            gaps = varint_decode(b"".join(bytes(x) for x in pdf["doc_ids"]))
+            offs = np.concatenate(([0], np.cumsum(nd)))
+            starts = offs[:-1]
+            csum = np.cumsum(gaps, dtype=np.uint64)
+            base = csum[starts] - gaps[starts]
+            ids = u64_to_i64_order(csum - np.repeat(base, nd))
+            tfs = varint_decode(b"".join(bytes(x) for x in pdf["tfs"]))
+            dls = varint_decode(b"".join(bytes(x) for x in pdf["doc_lens"]))
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), nd),
+                    "doc_id": ids.astype(np.int64),
+                    "tf": tfs.astype(np.int32),
+                    "doc_len": dls.astype(np.int32),
+                }
+            )
 
-    return blocks.select("term", "doc_ids", "tfs", "doc_lens").mapInPandas(it, DECODED_SCHEMA)
+    return blocks.select("term", "n_docs", "doc_ids", "tfs", "doc_lens").mapInPandas(it, DECODED_SCHEMA)
 
 
 def _idf(n_docs: int, df: int) -> float:
@@ -164,13 +188,7 @@ def search(
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     _term_buckets(spark, st, pos + neg + less)  # one hash job for all terms
-    ts = (
-        spark.read.parquet(wh.path("term_stats"))
-        .filter(F.col("term").isin(pos + less))
-        .select("term", "df")
-        .collect()
-    )
-    dfs = {r["term"]: int(r["df"]) for r in ts}
+    dfs = _term_dfs(spark, st, pos + less)
     live = [t for t in pos if t in dfs]
     live_less = [t for t in less if t in dfs]
     if not live or (mode == "and" and len(live) < len(pos)):
