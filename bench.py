@@ -30,7 +30,7 @@ from lsearch_spark.corpus import QUERIES, make_pages
 from lsearch_spark.query import search
 from lsearch_spark.session import get_spark
 
-SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 1_000_000}
+SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 600_000}
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 SETTLE_S = int(os.environ.get("LSEARCH_BENCH_SETTLE", "10"))
 REPS = int(os.environ.get("LSEARCH_BENCH_REPS", "2"))  # child builds 2x itself
