@@ -4,10 +4,13 @@ invocation, reference search.rs:271-279; content re-read per run,
 cli.rs:484-485).
 
 Stages (each a checkpointable DataFrame job with a manifest + metrics):
-  extract      pages -> docs_text(doc_id, text)      [Arrow UDF hot path]
-  docs         docs_text -> docs(doc_id, url, doc_len, warc_ts, lang)
-  flat         docs_text -> postings_flat(term, doc_id, tf, positions,
-               doc_len, bucket) partitioned by bucket=pmod(xxhash64(term),P)
+  extract      pages -> docs(doc_id, url, warc_ts, lang, tokens)
+               [Arrow UDF hot path; the corpus is tokenized exactly ONCE,
+               here — docs stores the token stream (a forward index), so
+               no later stage re-runs translate+split over the text]
+  flat         docs -> postings_flat(term, doc_id, tf, positions,
+               doc_len, bucket) partitioned by bucket=pmod(xxhash64(term),P);
+               doc_len = size(tokens) on the read-back column (cheap)
   term_stats   flat -> term_stats(term, df, cf) + corpus_stats(n_docs, avgdl)
   blocks       flat -> postings(term, salt, block_id, min/max_doc_id,
                n_docs, doc_ids, tfs, doc_lens, positions, block_max_tf,
@@ -71,6 +74,7 @@ BLOCK_SCHEMA = StructType(
         StructField("positions", BinaryType()),
         StructField("block_max_tf", IntegerType()),
         StructField("block_max_wand", DoubleType()),
+        StructField("block_min_wand", DoubleType()),
         StructField("bucket", IntegerType()),
     ]
 )
@@ -163,9 +167,25 @@ def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
     pq.write_table(table, os.path.join(wh.path("corpus_stats"), "part-0.parquet"))
 
 
-def _stage_done(wh: Warehouse, stage: str, input_id: str, resume: bool) -> bool:
+def read_docs(spark: SparkSession, wh: Warehouse) -> DataFrame:
+    """docs table (doc_id, url, warc_ts, lang, tokens, doc_len) — doc_len
+    materialized lazily from the stored token stream (SURVEY §1.2 schema);
+    consumers that don't touch tokens/doc_len get them pruned away."""
+    d = spark.read.parquet(wh.path("docs"))
+    return d.withColumn("doc_len", F.size("tokens"))
+
+
+STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats"]
+
+# bump on any on-disk layout/schema change: folded into the stage
+# fingerprint so warehouses built by older code rebuild instead of being
+# served with a stale schema
+INDEX_FORMAT = 2
+
+
+def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bool:
     m = wh.read_manifest(stage)
-    return bool(resume and m and m.get("input_id") == input_id and m.get("ok"))
+    return bool(resume and m and m.get("fingerprint") == fingerprint and m.get("ok"))
 
 
 def _make_block_mapper(block_size: int, avgdl: float):
@@ -254,6 +274,10 @@ def _make_block_mapper(block_size: int, avgdl: float):
         wand = tfs * (K1 + 1.0) / denom
         bmax_tf = np.maximum.reduceat(tfs, bstarts) if total else np.array([], dtype=np.int64)
         bmax_wand = np.maximum.reduceat(wand, bstarts) if total else np.array([], dtype=np.float64)
+        # block_min_wand backs the DRIVER-SIDE top-k lower bound tau: a
+        # full block guarantees block_size docs whose score >= idf * min
+        # (see query._pruned_block_filter) — no Spark job needed for tau.
+        bmin_wand = np.minimum.reduceat(wand, bstarts) if total else np.array([], dtype=np.float64)
 
         # python strings materialized ONLY at group starts
         start_terms = tcol.take(pa.array(gstarts)).to_pylist()
@@ -273,11 +297,13 @@ def _make_block_mapper(block_size: int, avgdl: float):
                 pa.array(pos_b, pa.binary()),
                 pa.array(bmax_tf.astype(np.int32), pa.int32()),
                 pa.array(bmax_wand.astype(np.float64), pa.float64()),
+                pa.array(bmin_wand.astype(np.float64), pa.float64()),
                 pa.array(bucket[bstarts].astype(np.int32) if total else [], pa.int32()),
             ],
             names=[
                 "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
-                "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand", "bucket",
+                "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand",
+                "block_min_wand", "bucket",
             ],
         )
 
@@ -325,25 +351,44 @@ def build_index(
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     os.makedirs(wh.root, exist_ok=True)
-    wh.write_manifest(
-        "config",
-        {"n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df, "n_salts": n_salts, "k1": K1, "b": B},
-    )
+    cfg = {"n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df, "n_salts": n_salts, "k1": K1, "b": B}
+    # Resume correctness: stage manifests key on (input_id, config) — a
+    # rerun with a different n_buckets/block_size/... must NOT skip stages
+    # built under the old config (query-side bucket math would silently
+    # diverge from the stored layout). The fingerprint folds the config in,
+    # forcing a rebuild on any mismatch.
+    fingerprint = f"{input_id}|v{INDEX_FORMAT}|cfg:b{n_buckets}.bs{block_size}.h{hot_df}.s{n_salts}"
+    wh.write_manifest("config", cfg)
+
+    def stage_runs(stage: str) -> bool:
+        """True if `stage` must (re)run; a rerun invalidates every
+        downstream stage's manifest — stale derived tables must never be
+        served after an upstream rebuild."""
+        if _stage_done(wh, stage, fingerprint, resume):
+            return False
+        for later in STAGES[STAGES.index(stage) + 1 :]:
+            p = wh.manifest_path(later)
+            if os.path.exists(p):
+                os.remove(p)
+        return True
 
     def finish(stage, t0, rows):
         wall = (time.time() - t0) * 1000
         _write_metrics(spark, wh, run_id, stage, rows, wall, input_id)
         wh.write_manifest(
             stage,
-            {"run_id": run_id, "stage": stage, "input_id": input_id, "ok": True, "wall_ms": wall,
-             "n_rows": sum(r[1] for r in rows)},
+            {"run_id": run_id, "stage": stage, "input_id": input_id, "fingerprint": fingerprint,
+             "ok": True, "wall_ms": wall, "n_rows": sum(r[1] for r in rows)},
         )
 
     # ---- stage: extract ----------------------------------------------------
-    # one pass writes the whole docs table (identity + doc_len + extracted
-    # text); later consumers read it with column pruning, so a separate
-    # docs_text checkpoint would only add a stage boundary.
-    if not _stage_done(wh, "extract", input_id, resume):
+    # one pass writes the whole docs table: identity columns + the token
+    # stream (a forward index). Tokenization (translate + regexp split)
+    # runs exactly once per document, HERE; every later stage reads the
+    # stored tokens. Corpus stats (n_docs, total tokens) fall out of an
+    # Observation over the write — no extra job, no re-evaluation of the
+    # projection (observe aggregates run over the produced rows).
+    if stage_runs("extract"):
         t0 = time.time()
         has_doc_id = "doc_id" in pages.columns
         base = pages.withColumn(
@@ -356,10 +401,8 @@ def build_index(
         if base.rdd.getNumPartitions() < target:
             base = base.repartition(target)
         text = extracted_text_col() if from_html else F.col("text")
-        dt = base.select("doc_id", "url", "warc_ts", "lang", text.alias("text")).withColumn(
-            "doc_len", F.size(tokens_col("text"))
-        )
-        dt, obs = _observed(dt, "extract", F.sum("doc_len").alias("total_tokens"))
+        dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+        dt, obs = _observed(dt, "extract", F.sum(F.size("tokens")).alias("total_tokens"))
         dt.write.mode("overwrite").parquet(wh.path("docs"))
         # corpus stats fall out of the same observation — no extra job
         n_docs = int(obs.get["n_rows"])
@@ -367,18 +410,16 @@ def build_index(
         _write_corpus_stats(wh, n_docs, total_tokens)
         finish("extract", t0, [(-1, n_docs, None)])
 
-    docs = spark.read.parquet(wh.path("docs"))
-    docs_text = docs  # column-pruned at every consumer
+    docs_text = spark.read.parquet(wh.path("docs"))
 
     # ---- stage: flat postings ----------------------------------------------
-    if not _stage_done(wh, "flat", input_id, resume):
+    if stage_runs("flat"):
         t0 = time.time()
         # carry doc_len through the explode so scoring never needs a join
         # against the (huge) docs table — the alternative big-big join on
-        # doc_id is the shuffle that would dominate at 100 TB.
-        toks = docs_text.select(
-            "doc_id", tokens_col("text").alias("toks")
-        ).select(
+        # doc_id is the shuffle that would dominate at 100 TB. doc_len is
+        # size() of the read-back array: no re-tokenization.
+        toks = docs_text.select("doc_id", F.col("tokens").alias("toks")).select(
             "doc_id",
             F.size("toks").alias("doc_len"),
             F.posexplode("toks").alias("pos", "term"),
@@ -402,7 +443,7 @@ def build_index(
     flat = spark.read.parquet(wh.path("postings_flat"))
 
     # ---- stage: term_stats + corpus_stats ----------------------------------
-    if not _stage_done(wh, "term_stats", input_id, resume):
+    if stage_runs("term_stats"):
         t0 = time.time()
         ts = flat.groupBy("term").agg(
             F.count("*").cast("long").alias("df"),
@@ -413,7 +454,7 @@ def build_index(
         finish("term_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     # ---- stage: compressed blocks ------------------------------------------
-    if not _stage_done(wh, "blocks", input_id, resume):
+    if stage_runs("blocks"):
         t0 = time.time()
         stats = wh.corpus_stats(spark)
         avgdl = float(stats["avgdl"])
@@ -457,6 +498,45 @@ def build_index(
             nb = sum(os.path.getsize(f) for f in _glob.glob(os.path.join(bdir, "*.parquet")))
             per_bucket.append((bid, n, nb))
         finish("blocks", t0, per_bucket or [(-1, n_blocks, None)])
+
+    # ---- stage: per-term block summary (query-side pruning metadata) --------
+    # One tiny row per term: enough for the query planner to compute WAND
+    # upper bounds AND a valid top-k lower bound tau entirely driver-side,
+    # with zero extra Spark jobs per query (the round-1 pruned path ran 3).
+    #
+    # top_wands = the K_TOP largest block_max_wand values of the term.
+    # Every block max is ACHIEVED by a real doc in that block, and the
+    # achieving docs of distinct blocks are distinct — so the k-th entry
+    # is a valid (and tight) lower bound on the k-th best single-term
+    # score: for a stopword query the pruned scan keeps ~k blocks instead
+    # of the whole salted posting list.
+    #
+    # Skew note: the top-k-per-term agg is two-phase over the existing
+    # salt, so no task ever collects an unsalted stopword's full block
+    # list — group sizes are bounded by max(hot_df, df/n_salts)/block_size.
+    # The scan reads only small meta columns; parquet column pruning never
+    # touches the compressed binary blobs.
+    if stage_runs("block_stats"):
+        t0 = time.time()
+        K_TOP = 32
+        pb = spark.read.parquet(wh.path("postings"))
+        partial = pb.groupBy("term", "salt").agg(
+            F.count("*").cast("long").alias("nb"),
+            F.sum("n_docs").cast("long").alias("np"),
+            F.slice(F.sort_array(F.collect_list("block_max_wand"), asc=False), 1, K_TOP).alias("tw"),
+        )
+        bs = (
+            partial.groupBy("term")
+            .agg(
+                F.sum("nb").alias("n_blocks"),
+                F.sum("np").alias("n_postings"),
+                F.slice(F.sort_array(F.flatten(F.collect_list("tw")), asc=False), 1, K_TOP).alias("top_wands"),
+            )
+            .withColumn("ub_wand", F.col("top_wands")[0])
+        )
+        bs, obs = _observed(bs, "block_stats")
+        bs.write.mode("overwrite").parquet(wh.path("term_block_stats"))
+        finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     from .query import invalidate_cache  # lazy: query imports Warehouse from here
 

@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..tokenize import ascii_lower_col
+from ..tokenize import ascii_lower, ascii_lower_col
 
 
 # ------------------------------------------------------------------ loaders
@@ -54,7 +54,9 @@ def _norm(c: Column, insensitive: bool) -> Column:
 
 
 def is_(content: Column, target: str, insensitive: bool = False) -> Column:
-    t = target.lower() if insensitive else target  # targets are ASCII CLI args
+    # ASCII-only lowercase on BOTH sides (reference cli.rs:381-397
+    # to_ascii_lowercase): 'É' must NOT fold to 'é', matching oracle.py:54-57
+    t = ascii_lower(target) if insensitive else target
     return _norm(content, insensitive) == F.lit(t)
 
 
@@ -63,7 +65,7 @@ def not_(content: Column, target: str, insensitive: bool = False) -> Column:
 
 
 def has(content: Column, target: str, insensitive: bool = False) -> Column:
-    t = target.lower() if insensitive else target
+    t = ascii_lower(target) if insensitive else target
     return _norm(content, insensitive).contains(F.lit(t))
 
 
@@ -74,7 +76,9 @@ def hasnt(content: Column, target: str, insensitive: bool = False) -> Column:
 def more_count(content: Column, target: str, insensitive: bool = False) -> Column:
     """1 + non-overlapping occurrences (reference More, search.rs:271-279),
     as pure length arithmetic — whole-stage-codegen friendly."""
-    t = target.lower() if insensitive else target
+    t = ascii_lower(target) if insensitive else target
+    if not t:
+        return F.lit(1.0)  # empty target: defined as 1.0 (oracle.py:45-47)
     c = _norm(content, insensitive)
     occurrences = (F.length(c) - F.length(F.replace(c, F.lit(t), F.lit("")))) / F.lit(len(t))
     return (F.lit(1.0) + occurrences).cast("double")
@@ -118,6 +122,14 @@ class ContentRun:
         return s
 
 
+def default_run() -> ContentRun:
+    """The reference's implicit default run (Title + Pass) is
+    case-INSENSITIVE (cli.rs:150, cli.rs:261), while runs opened by an
+    explicit loader flag default to sensitive until `-i` (cli.rs:264,
+    cli.rs:286-288) — SURVEY §2.2's quirk, preserved here."""
+    return ContentRun(loader="content-title", ops=[], insensitive=True)
+
+
 def cascade(df: DataFrame, runs: list[ContentRun], score_col: str = "score") -> DataFrame:
     """Chained runs: each filters the previous survivors; only the LAST
     run's score survives (reference drops prior scores, cli.rs:484).
@@ -125,7 +137,7 @@ def cascade(df: DataFrame, runs: list[ContentRun], score_col: str = "score") -> 
     out = df
     for run in runs:
         out = out.filter(run.predicate())
-    final = runs[-1] if runs else ContentRun()
+    final = runs[-1] if runs else default_run()
     return out.withColumn(score_col, final.score())
 
 

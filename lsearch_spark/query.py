@@ -10,22 +10,41 @@ reference's Hasnt, search.rs:250-265, as a LEFT ANTI join).
 
 Two execution paths, equivalence-tested against each other and the
 pure-Python oracle:
-  - exhaustive: decode every matching block, score, groupBy, top-k.
-  - block-max pruned (prune=True): a distributed 3-phase variant of
-    block-max WAND. Phase 1 exactly scores a small candidate set (top
-    blocks per term by block_max_wand) giving a LOWER bound tau of the
-    k-th best true score (partial scores underestimate). Phase 2 prunes
-    every block whose best-possible doc score
-    idf_t*block_max_wand + sum(UB_t') < tau, then scores the kept
-    blocks exactly. A top-k doc's blocks can never be pruned (its true
-    score >= tau implies every containing block's bound >= tau), so
-    top-k ids AND scores are exact; proof sketch in comments below.
+
+- exhaustive: decode every matching block, score, groupBy, top-k.
+- block-max pruned (prune=True): driver-side block-max WAND. The
+  per-term summary table (term_block_stats, one tiny row per term)
+  gives, with ZERO extra Spark jobs:
+    UB_t  = idf_t * max(block_max_wand)      — upper bound on any doc's
+            contribution from t
+    tau   = max_t idf_t * top_wands_t[k-1]   — a LOWER bound on the k-th
+            best true score: each of a term's k largest block maxima is
+            achieved by a distinct real doc (other terms contribute >= 0).
+  A block of term t can contain a top-k doc only if
+    idf_t * block_max_wand + sum(UB_t' for t' != t) >= tau
+  i.e. block_max_wand >= theta_t := (tau - sum(UB_others)) / idf_t —
+  a plain per-term comparison pushed into the parquet scan, where
+  row-group min/max stats on block_max_wand skip whole row groups.
+  Exactness: a true top-k doc d has score(d) >= kth-best >= tau, and
+  every block b containing d satisfies bound(b) >= score(d) >= tau,
+  so none of d's blocks are pruned and d's final score is exact.
+  The pruned path is therefore the SAME single Spark job as the
+  exhaustive path, over strictly fewer blocks (round 1's version ran
+  3 driver round-trips per query and was a measured pessimization).
+
+Per-query instrumentation (the reference's --stats analog,
+cli.rs:14-96, dump at cli.rs:510-512): `search_with_stats` records
+blocks decoded / total, postings decoded, and wall time per query to
+the warehouse's query_metrics table.
 """
 
 from __future__ import annotations
 
 import math
+import time
+import uuid
 from collections.abc import Iterator
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -34,15 +53,18 @@ from pyspark.sql import functions as F
 
 from . import B, K1
 from .build import Warehouse
-from .codec import decode_ids_signed, decode_positions_flat, varint_decode
+from .codec import decode_ids_signed, decode_positions_flat, u64_to_i64_order, varint_decode
 from .oracle import parse_query
 from .tokenize import py_tokenize
 
 RESULT_SCHEMA = "doc_id long, score double"
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len int"
+DECODED_IDS_SCHEMA = "doc_id long"
+DECODED_IDS_PROV_SCHEMA = "term string, salt int, block_id int, doc_id long"
 
-# per-warehouse session cache: config + corpus stats + memoized term->bucket
-# (repeated searches skip 2 parquet reads and the bucket-hash job)
+# per-warehouse session cache: config + corpus stats + memoized per-term
+# metadata (bucket, df, block summary) — repeated searches touch no
+# parquet metadata and run no extra jobs for known terms
 _WH_CACHE: dict[str, dict] = {}
 
 
@@ -58,10 +80,13 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
             "buckets": {},
             "dfs": {},  # per-term document frequency (scale-safe memo:
             # only queried terms, never the full term_stats table)
+            "bstats": {},  # per-term block summary (ub_wand/full_min_wand/
+            # n_blocks) for driver-side WAND pruning
             "postings_rel": spark.read.parquet(wh.path("postings")),  # keeps
             # the FileIndex warm across queries (re-listing bucket dirs per
             # query is pure metadata overhead)
             "term_stats_rel": spark.read.parquet(wh.path("term_stats")),
+            "block_stats_rel": None,  # lazy: absent on pre-round-2 indexes
         }
         _WH_CACHE[wh.root] = st
     return st
@@ -75,6 +100,36 @@ def _term_dfs(spark, st: dict, terms: list[str]) -> dict[str, int]:
         for t in missing:
             st["dfs"][t] = found.get(t)  # None = not in corpus (memoized too)
     return {t: st["dfs"][t] for t in terms if st["dfs"][t] is not None}
+
+
+def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[str, dict]:
+    """Per-term pruning metadata from term_block_stats, memoized. Returns
+    only terms that have a row; an index built before the summary stage
+    existed simply yields {} (pruning then falls back to exhaustive)."""
+    if st["block_stats_rel"] is None:
+        try:
+            rel = spark.read.parquet(wh.path("term_block_stats"))
+            # absent or pre-format-2 table -> no pruning (never wrong results)
+            st["block_stats_rel"] = rel if "top_wands" in rel.columns else False
+        except Exception:
+            st["block_stats_rel"] = False  # table absent; remember that
+    if st["block_stats_rel"] is False:
+        return {}
+    missing = [t for t in terms if t not in st["bstats"]]
+    if missing:
+        rows = st["block_stats_rel"].filter(F.col("term").isin(missing)).collect()
+        found = {
+            r["term"]: {
+                "n_blocks": int(r["n_blocks"]),
+                "n_postings": int(r["n_postings"]),
+                "ub_wand": float(r["ub_wand"]),
+                "top_wands": [float(x) for x in r["top_wands"]],
+            }
+            for r in rows
+        }
+        for t in missing:
+            st["bstats"][t] = found.get(t)
+    return {t: st["bstats"][t] for t in terms if st["bstats"].get(t) is not None}
 
 
 def invalidate_cache(root: str | None = None) -> None:
@@ -107,31 +162,74 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
     whole-batch numpy passes: varint streams concatenate losslessly, so
     ALL blocks in an Arrow batch decode in one call; per-block delta
     resets are restored with a segmented cumsum (no per-block python)."""
-    from .codec import u64_to_i64_order
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             nd = pdf["n_docs"].to_numpy().astype(np.int64)
-            gaps = varint_decode(b"".join(bytes(x) for x in pdf["doc_ids"]))
-            offs = np.concatenate(([0], np.cumsum(nd)))
-            starts = offs[:-1]
-            csum = np.cumsum(gaps, dtype=np.uint64)
-            base = csum[starts] - gaps[starts]
-            ids = u64_to_i64_order(csum - np.repeat(base, nd))
+            ids = _ids_from_batch(pdf, nd)
             tfs = varint_decode(b"".join(bytes(x) for x in pdf["tfs"]))
             dls = varint_decode(b"".join(bytes(x) for x in pdf["doc_lens"]))
             yield pd.DataFrame(
                 {
                     "term": np.repeat(pdf["term"].to_numpy(), nd),
-                    "doc_id": ids.astype(np.int64),
+                    "doc_id": ids,
                     "tf": tfs.astype(np.int32),
                     "doc_len": dls.astype(np.int32),
                 }
             )
 
     return blocks.select("term", "n_docs", "doc_ids", "tfs", "doc_lens").mapInPandas(it, DECODED_SCHEMA)
+
+
+def _ids_from_batch(pdf: pd.DataFrame, nd: np.ndarray) -> np.ndarray:
+    """Decode all doc_id columns of a block batch in one numpy pass."""
+    gaps = varint_decode(b"".join(bytes(x) for x in pdf["doc_ids"]))
+    offs = np.concatenate(([0], np.cumsum(nd)))
+    starts = offs[:-1]
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    base = csum[starts] - gaps[starts]
+    return u64_to_i64_order(csum - np.repeat(base, nd)).astype(np.int64)
+
+
+def _decode_blocks_ids_only(blocks: DataFrame) -> DataFrame:
+    """doc_ids-only decode: reads/decodes ONLY the doc_ids blob (parquet
+    column pruning skips tfs/doc_lens/positions entirely). Used for
+    negation ('-term'), where tf/doc_len of the excluded term are dead
+    weight — for stopword exclusions this is the difference between
+    decoding one varint stream and three."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nd = pdf["n_docs"].to_numpy().astype(np.int64)
+            yield pd.DataFrame({"doc_id": _ids_from_batch(pdf, nd)})
+
+    return blocks.select("n_docs", "doc_ids").mapInPandas(it, DECODED_IDS_SCHEMA)
+
+
+def _decode_blocks_ids_prov(blocks: DataFrame) -> DataFrame:
+    """doc_ids decode with block provenance (term, salt, block_id) — the
+    cheap phase-1 pass of phrase_search: candidate docs are intersected
+    on these rows BEFORE any positional blob is decoded."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nd = pdf["n_docs"].to_numpy().astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), nd),
+                    "salt": np.repeat(pdf["salt"].to_numpy().astype(np.int32), nd),
+                    "block_id": np.repeat(pdf["block_id"].to_numpy().astype(np.int32), nd),
+                    "doc_id": _ids_from_batch(pdf, nd),
+                }
+            )
+
+    return blocks.select("term", "salt", "block_id", "n_docs", "doc_ids").mapInPandas(it, DECODED_IDS_PROV_SCHEMA)
 
 
 def _idf(n_docs: int, df: int) -> float:
@@ -151,7 +249,7 @@ def _score_decoded(decoded: DataFrame, idf_map: dict[str, float], avgdl: float) 
 def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
     if not neg:
         return None
-    return _decode_blocks(_postings_for(spark, wh, st, neg)).select("doc_id").distinct()
+    return _decode_blocks_ids_only(_postings_for(spark, wh, st, neg)).distinct()
 
 
 def _agg_topk(scored: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
@@ -166,6 +264,42 @@ def _agg_topk(scored: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | 
     return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _pruned_block_filter(live: list[str], idf_map: dict[str, float], bstats: dict[str, dict], k: int):
+    """Driver-side WAND plan: (block predicate Column | None, tau).
+
+    tau = max over terms of idf_t * top_wands_t[k-1]: each of a term's k
+    largest block maxima is achieved by a distinct real doc, so at least
+    k docs have a true score >= tau -> tau lower-bounds the k-th best.
+    None means "no pruning possible" (missing stats, or k beyond the
+    stored top_wands) — the caller then runs the plain exhaustive scan.
+    tau is shaved by a relative epsilon so driver-side float rounding can
+    never exceed the executor-side true k-th score."""
+    if not all(t in bstats for t in live):
+        # without EVERY term's upper bound the pruning inequality is not
+        # sound (sum_others would be underestimated) -> no pruning
+        return None, float("-inf")
+    ub = {t: idf_map[t] * bstats[t]["ub_wand"] for t in live}
+    sum_ub = sum(ub.values())
+    tau = float("-inf")
+    for t in live:
+        tw = bstats[t]["top_wands"]
+        if len(tw) >= k:
+            tau = max(tau, idf_map[t] * tw[k - 1])
+    if tau == float("-inf"):
+        return None, tau
+    tau -= abs(tau) * 1e-9 + 1e-12  # float-safety margin (still a lower bound)
+    conds = []
+    for t in live:
+        theta = (tau - (sum_ub - ub[t])) / idf_map[t]
+        c = F.col("term") == t
+        if theta > 0:
+            # comparison against a plain column -> pushed to the parquet
+            # scan; row-group min/max stats on block_max_wand skip groups
+            c = c & (F.col("block_max_wand") >= F.lit(float(theta)))
+        conds.append(c)
+    return reduce(lambda a, b: a | b, conds), tau
+
+
 def search(
     spark: SparkSession,
     warehouse: str | Warehouse,
@@ -174,14 +308,23 @@ def search(
     mode: str = "or",
     prune: bool = False,
     with_url: bool = False,
-    candidate_blocks_per_term: int = 4,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns DataFrame(doc_id, score[, url]) already ordered
-    (score DESC, doc_id ASC) and limited to k."""
+    (score DESC, doc_id ASC) and limited to k.
+
+    prune=True enables driver-side block-max WAND (see module docstring):
+    exact results, same single Spark job, strictly fewer blocks decoded.
+    It silently degrades to the exhaustive plan when not applicable
+    (AND mode, negation, '~less' terms, k > 32 stored maxima, missing
+    stats) — those can invalidate tau's k-doc witness set.
+    """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
     pos, neg, less = parse_query(query)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
+    if _stats is not None:
+        _stats.update({"query": query, "k": k, "mode": mode, "prune": prune, "terms": [], "tau": None})
     if not pos:
         return empty
 
@@ -191,6 +334,8 @@ def search(
     dfs = _term_dfs(spark, st, pos + less)
     live = [t for t in pos if t in dfs]
     live_less = [t for t in less if t in dfs]
+    if _stats is not None:
+        _stats["terms"] = live
     if not live or (mode == "and" and len(live) < len(pos)):
         return empty
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
@@ -198,31 +343,49 @@ def search(
     blocks = _postings_for(spark, wh, st, live)
     neg_docs = _neg_docs(spark, wh, st, neg)
 
-    if prune and not live_less:
-        # less-terms subtract score, so block upper bounds would no longer
-        # bound totals from above cheaply -> exhaustive path when present
-        topk = _search_pruned(spark, blocks, idf_map, avgdl, live, mode, neg_docs, k, candidate_blocks_per_term)
+    tau = float("-inf")
+    if prune and not live_less and not neg and mode == "or":
+        # negation/AND/less can invalidate tau's k-doc witness (the
+        # witness block's docs might be filtered out), so pruning applies
+        # only to the plain disjunctive case — everything else keeps the
+        # exhaustive (still single-job) plan.
+        bstats = _term_block_stats(spark, st, wh, live)
+        flt, tau = _pruned_block_filter(live, idf_map, bstats, k)
+        if flt is not None:
+            buckets = sorted(set(_term_buckets(spark, st, live).values()))
+            blocks = st["postings_rel"].filter(F.col("bucket").isin(buckets) & flt)
+    if _stats is not None:
+        _stats["tau"] = None if tau == float("-inf") else tau
+        from pyspark.sql import Observation
+
+        obs = Observation(f"qstats_{uuid.uuid4().hex[:12]}")
+        blocks = blocks.observe(
+            obs,
+            F.count(F.lit(1)).alias("blocks_decoded"),
+            F.sum("n_docs").alias("postings_decoded"),
+        )
+        _stats["_obs"] = obs
+
+    scored = _score_decoded(_decode_blocks(blocks), idf_map, avgdl)
+    if live_less:
+        less_idf = {t: _idf(n_docs, dfs[t]) for t in live_less}
+        less_scored = _score_decoded(
+            _decode_blocks(_postings_for(spark, wh, st, live_less)), less_idf, avgdl
+        )
+        penalties = less_scored.groupBy("doc_id").agg(F.sum("tscore").alias("penalty"))
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_terms_hit") == len(live))
+        if neg_docs is not None:
+            agg = agg.join(neg_docs, "doc_id", "left_anti")
+        agg = agg.join(penalties, "doc_id", "left").withColumn(
+            "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
+        )
+        topk = agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     else:
-        scored = _score_decoded(_decode_blocks(blocks), idf_map, avgdl)
-        if live_less:
-            less_idf = {t: _idf(n_docs, dfs[t]) for t in live_less}
-            less_scored = _score_decoded(
-                _decode_blocks(_postings_for(spark, wh, st, live_less)), less_idf, avgdl
-            )
-            penalties = less_scored.groupBy("doc_id").agg(F.sum("tscore").alias("penalty"))
-            agg = scored.groupBy("doc_id").agg(
-                F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
-            )
-            if mode == "and":
-                agg = agg.filter(F.col("n_terms_hit") == len(live))
-            if neg_docs is not None:
-                agg = agg.join(neg_docs, "doc_id", "left_anti")
-            agg = agg.join(penalties, "doc_id", "left").withColumn(
-                "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
-            )
-            topk = agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        else:
-            topk = _agg_topk(scored, len(live), mode, neg_docs, k)
+        topk = _agg_topk(scored, len(live), mode, neg_docs, k)
 
     if with_url:
         docs = spark.read.parquet(wh.path("docs")).select("doc_id", "url")
@@ -232,6 +395,113 @@ def search(
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
     return topk
+
+
+# ----------------------------------------------------- query instrumentation
+def _write_query_metrics(wh: Warehouse, info: dict) -> None:
+    """Append one query_metrics row (driver-side pyarrow — a 1-row Spark
+    write costs seconds of scheduler overhead). Schema mirrors the
+    reference's per-run stats report (cli.rs:58-70, 120-128)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "ts": pa.array([time.time()], pa.float64()),
+            "query": pa.array([info.get("query")], pa.string()),
+            "terms": pa.array([",".join(info.get("terms") or [])], pa.string()),
+            "k": pa.array([int(info.get("k") or 0)], pa.int32()),
+            "mode": pa.array([info.get("mode")], pa.string()),
+            "prune": pa.array([bool(info.get("prune"))], pa.bool_()),
+            "tau": pa.array([info.get("tau")], pa.float64()),
+            "blocks_total": pa.array([info.get("blocks_total")], pa.int64()),
+            "blocks_decoded": pa.array([info.get("blocks_decoded")], pa.int64()),
+            "postings_decoded": pa.array([info.get("postings_decoded")], pa.int64()),
+            "rows_returned": pa.array([info.get("rows_returned")], pa.int64()),
+            "wall_ms": pa.array([info.get("wall_ms")], pa.float64()),
+        }
+    )
+    d = wh.path("query_metrics")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def search_with_stats(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    prune: bool = False,
+) -> tuple[list, dict]:
+    """Run a search eagerly and record per-query metrics — the analog of
+    the reference's --stats surface (cli.rs:14-56 per-op stats, dump at
+    cli.rs:510-512): blocks decoded vs total, postings decoded, wall ms.
+    Returns (rows, stats_dict); also appends a row to query_metrics."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    info: dict = {}
+    t0 = time.time()
+    rows = search(spark, wh, query, k=k, mode=mode, prune=prune, _stats=info).collect()
+    info["wall_ms"] = (time.time() - t0) * 1000.0
+    obs = info.pop("_obs", None)
+    if obs is not None:
+        vals = obs.get
+        info["blocks_decoded"] = int(vals["blocks_decoded"] or 0)
+        info["postings_decoded"] = int(vals["postings_decoded"] or 0)
+    else:
+        info["blocks_decoded"] = 0
+        info["postings_decoded"] = 0
+    bstats = _term_block_stats(spark, st, wh, info.get("terms") or [])
+    info["blocks_total"] = int(sum(b["n_blocks"] for b in bstats.values())) or None
+    info["rows_returned"] = len(rows)
+    _write_query_metrics(wh, info)
+    return rows, info
+
+
+def plan_summary(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    prune: bool = False,
+) -> str:
+    """The `--strats` analog (reference summarize_runs cli.rs:326-341,
+    dispatch cli.rs:439-441): a human-readable description of the planned
+    query — terms, buckets, dfs, WAND bounds — without running it."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    pos, neg, less = parse_query(query)
+    n_docs = int(st["stats"]["n_docs"])
+    dfs = _term_dfs(spark, st, pos + less)
+    buckets = _term_buckets(spark, st, pos + neg + less)
+    bstats = _term_block_stats(spark, st, wh, [t for t in pos if t in dfs]) if prune else {}
+    lines = [f"query: {query!r}  k={k} mode={mode} prune={prune}  corpus n_docs={n_docs}"]
+    for t in pos:
+        if t not in dfs:
+            lines.append(f"  +{t}: NOT IN CORPUS (dropped)")
+            continue
+        idf = _idf(n_docs, dfs[t])
+        line = f"  +{t}: df={dfs[t]} idf={idf:.4f} bucket={buckets[t]}"
+        if t in bstats:
+            bs = bstats[t]
+            line += f" blocks={bs['n_blocks']} ub={idf * bs['ub_wand']:.4f}"
+        lines.append(line)
+    for t in less:
+        lines.append(f"  ~{t}: df={dfs.get(t, 0)} (negative-weight scorer)")
+    for t in neg:
+        lines.append(f"  -{t}: bucket={buckets[t]} (LEFT ANTI, doc_ids-only decode)")
+    if prune:
+        live = [t for t in pos if t in dfs]
+        idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
+        flt, tau = _pruned_block_filter(live, idf_map, bstats, k) if live else (None, float("-inf"))
+        lines.append(
+            f"  WAND: tau={tau:.4f} (driver-side)" if flt is not None else "  WAND: no pruning applicable"
+        )
+    return "\n".join(lines)
 
 
 DECODED_POS_SCHEMA = "term string, doc_id long, tf int, doc_len int, positions array<int>"
@@ -270,14 +540,23 @@ def _decode_blocks_with_positions(blocks: DataFrame) -> DataFrame:
 
 
 def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, k: int = 10) -> DataFrame:
-    """Exact-phrase BM25 top-k over the positional index.
+    """Exact-phrase BM25 top-k over the positional index, in two phases:
 
-    Adjacency is checked JVM-side by folding position arrays:
-    cand = positions(t0); cand = array_intersect(cand+1, positions(t1));
-    ... phrase tf = |cand| (overlapping occurrences counted). Scored as a
-    single BM25 'term' whose df = number of phrase-matching docs.
-    Returns DataFrame(doc_id, score, phrase_tf) ordered (score DESC,
-    doc_id ASC), limited to k.
+    Phase 1 (cheap): doc_ids-only decode of every phrase term's blocks
+    (positions blobs never read — parquet column pruning), then a
+    rarest-term-first LEFT SEMI chain intersects to candidate docs and
+    the distinct (term, salt, block_id) keys of blocks holding them.
+
+    Phase 2: positional decode of ONLY those blocks; adjacency is checked
+    JVM-side by folding position arrays (cand = positions(t0);
+    cand = array_intersect(cand+1, positions(t1)); ...), phrase tf =
+    |cand| (overlapping occurrences counted). Scored as a single BM25
+    'term' whose df = number of phrase-matching docs.
+
+    No driver-side materialization at any k: the matches relation is
+    localCheckpoint'ed on the executors (round 1 collected it to the
+    driver). Returns DataFrame(doc_id, score, phrase_tf) ordered
+    (score DESC, doc_id ASC), limited to k.
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
@@ -289,87 +568,55 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     uniq = list(dict.fromkeys(terms))
-    decoded = _decode_blocks_with_positions(_postings_for(spark, wh, st, uniq)).cache()
+    dfs = _term_dfs(spark, st, uniq)
+    if any(t not in dfs for t in uniq):
+        return empty  # a phrase containing an absent term matches nothing
+    order = sorted(uniq, key=lambda t: (dfs[t], t))  # rarest term first
+
+    blocks = _postings_for(spark, wh, st, uniq)
+    ids = _decode_blocks_ids_prov(blocks).cache()
     try:
+        cand = ids.filter(F.col("term") == order[0]).select("doc_id")
+        for t in order[1:]:
+            cand = cand.join(ids.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_semi")
+        keys = ids.join(cand, "doc_id", "left_semi").select("term", "salt", "block_id").distinct()
+        # keys is small (blocks containing candidates); AQE broadcasts it
+        # locally and falls back to a shuffle join at extreme scale
+        full = _decode_blocks_with_positions(blocks.join(keys, ["term", "salt", "block_id"]))
+
+        # one join per UNIQUE term, rarest-first; duplicate phrase terms
+        # reuse the same positions column
         joined = None
-        for i, t in enumerate(terms):
-            side = decoded.filter(F.col("term") == t).select(
-                F.col("doc_id"),
-                F.col("positions").alias(f"pos_{i}"),
-                *( [F.col("doc_len")] if i == 0 else [] ),
+        colof: dict[str, str] = {}
+        for j, t in enumerate(order):
+            colof[t] = f"pos_u{j}"
+            side = full.filter(F.col("term") == t).select(
+                "doc_id",
+                F.col("positions").alias(colof[t]),
+                *([F.col("doc_len")] if j == 0 else []),
             )
             joined = side if joined is None else joined.join(side, "doc_id")
-        cand = F.col("pos_0")
-        for i in range(1, len(terms)):
-            cand = F.array_intersect(F.transform(cand, lambda x: x + 1), F.col(f"pos_{i}"))
-        matches = joined.withColumn("phrase_tf", F.size(cand)).filter(F.col("phrase_tf") > 0).select(
-            "doc_id", "doc_len", "phrase_tf"
-        ).cache()
-        try:
-            df_count = matches.count()  # phrase df for idf (tiny second job)
-            if df_count == 0:
-                return empty
-            idf = _idf(n_docs, df_count)
-            denom = F.col("phrase_tf") + F.lit(K1) * (
-                F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(max(avgdl, 1e-9))
-            )
-            top = (
-                matches.withColumn("score", F.lit(idf) * F.col("phrase_tf") * F.lit(K1 + 1.0) / denom)
-                .select("doc_id", "score", "phrase_tf")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-            )
-            # materialize before unpersisting the inputs it derives from
-            return spark.createDataFrame(top.collect(), "doc_id long, score double, phrase_tf int")
-        finally:
-            matches.unpersist()
+        candpos = F.col(colof[terms[0]])
+        for t in terms[1:]:
+            candpos = F.array_intersect(F.transform(candpos, lambda x: x + 1), F.col(colof[t]))
+        matches = (
+            joined.withColumn("phrase_tf", F.size(candpos))
+            .filter(F.col("phrase_tf") > 0)
+            .select("doc_id", "doc_len", "phrase_tf")
+            .localCheckpoint(eager=True)  # materialized on executors, not the driver
+        )
     finally:
-        decoded.unpersist()
-
-
-def _search_pruned(spark, blocks, idf_map, avgdl, live, mode, neg_docs, k, cand_per_term):
-    from pyspark.sql import Window
-
-    blocks = blocks.cache()
-    try:
-        # per-term upper bound UB_t = idf_t * max block_max_wand
-        pairs = []
-        for t, v in idf_map.items():
-            pairs += [F.lit(t), F.lit(float(v))]
-        idf_col = F.create_map(*pairs)[F.col("term")]
-        meta = blocks.select("term", "salt", "block_id", "block_max_wand").withColumn(
-            "ub", idf_col * F.col("block_max_wand")
-        )
-        ub_rows = meta.groupBy("term").agg(F.max("ub").alias("ub_t")).collect()
-        ub = {r["term"]: float(r["ub_t"]) for r in ub_rows}
-        sum_ub = sum(ub.values())
-
-        # phase 1: exact partial scores over the best few blocks per term
-        w = Window.partitionBy("term").orderBy(F.desc("block_max_wand"), F.asc("salt"), F.asc("block_id"))
-        cand_keys = (
-            meta.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= cand_per_term)
-            .select("term", "salt", "block_id")
-        )
-        cand_blocks = blocks.join(F.broadcast(cand_keys), ["term", "salt", "block_id"])
-        cand_scored = _score_decoded(_decode_blocks(cand_blocks), idf_map, avgdl)
-        # partial scores underestimate true scores -> tau is a valid lower
-        # bound of the k-th best true score (pointwise dominance preserves
-        # order statistics). 'and' mode cannot use phase-1 hit counts (they
-        # are partial), so tau=0 there unless all terms hit.
-        cand_top = _agg_topk(cand_scored, len(live), mode, neg_docs, k).collect()
-        tau = float(cand_top[-1]["score"]) if len(cand_top) == k else float("-inf")
-
-        # phase 2: a block survives iff some doc in it could reach tau:
-        #   idf_t*block_max_wand + sum(UB_t' for t' != t) >= tau
-        # A true top-k doc d has score(d) >= tau; for every block b
-        # containing d, bound(b) >= score(d) >= tau, so none of d's blocks
-        # are pruned and d's final score is exact.
-        sum_ub_col = F.lit(sum_ub) - F.create_map(*[x for t, v in ub.items() for x in (F.lit(t), F.lit(v))])[F.col("term")]
-        kept = blocks.withColumn("bound", idf_col * F.col("block_max_wand") + sum_ub_col).filter(
-            F.col("bound") >= F.lit(tau)
-        )
-        scored = _score_decoded(_decode_blocks(kept), idf_map, avgdl)
-        return _agg_topk(scored, len(live), mode, neg_docs, k)
-    finally:
-        blocks.unpersist()
+        ids.unpersist()
+    df_count = matches.count()  # phrase df for idf (cheap: checkpointed)
+    if df_count == 0:
+        return empty
+    idf = _idf(n_docs, df_count)
+    denom = F.col("phrase_tf") + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(max(avgdl, 1e-9))
+    )
+    return (
+        matches.withColumn("score", F.lit(idf) * F.col("phrase_tf") * F.lit(K1 + 1.0) / denom)
+        .select("doc_id", "score", "phrase_tf")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

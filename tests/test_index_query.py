@@ -45,7 +45,9 @@ def assert_rank_identical(got_rows, want, tol=1e-9):
 
 
 def test_docs_and_stats_match_oracle(spark, wh, pyidx):
-    docs = {r["doc_id"]: r["doc_len"] for r in spark.read.parquet(wh.path("docs")).collect()}
+    from lsearch_spark.build import read_docs
+
+    docs = {r["doc_id"]: r["doc_len"] for r in read_docs(spark, wh).select("doc_id", "doc_len").collect()}
     assert docs == pyidx.doc_len
     stats = wh.corpus_stats(spark)
     assert stats["n_docs"] == pyidx.n_docs
@@ -138,6 +140,25 @@ def test_phrase_search_matches_oracle(spark, wh, pyidx, phrase):
         tfs = {r["doc_id"]: r["phrase_tf"] for r in got}
         if spark_doc in tfs:
             assert tfs[spark_doc] == pyidx.postings["spark"][spark_doc] - 1
+
+
+def test_pruned_stopword_decodes_fewer_blocks(spark, wh, pyidx):
+    """The reference's --stats analog (cli.rs:14-96) + VERDICT r1 item 8:
+    on a stopword query the pruned plan must decode strictly fewer blocks
+    than the exhaustive plan, with identical results."""
+    from lsearch_spark.query import search_with_stats
+
+    rows_p, info_p = search_with_stats(spark, wh, "the", k=3, prune=True)
+    rows_e, info_e = search_with_stats(spark, wh, "the", k=3, prune=False)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows_p] == [
+        (r["doc_id"], round(r["score"], 9)) for r in rows_e
+    ]
+    assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
+    assert info_e["blocks_decoded"] == info_e["blocks_total"], info_e
+    assert info_p["tau"] is not None and info_e["tau"] is None
+    qm = spark.read.parquet(wh.path("query_metrics"))
+    assert qm.filter(F.col("query") == "the").count() >= 2
+    assert {"blocks_decoded", "blocks_total", "wall_ms", "postings_decoded"} <= set(qm.columns)
 
 
 def test_tiebreak_deterministic(spark, wh):

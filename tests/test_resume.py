@@ -42,7 +42,7 @@ def test_metrics_logged_per_stage(spark, tmp_path):
     build_index(spark, pages_df(spark, 50), root, n_buckets=2, block_size=16, input_id="c50")
     metrics = spark.read.parquet(os.path.join(root, "build_metrics"))
     stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
-    assert stages == {"extract", "flat", "term_stats", "blocks"}
+    assert stages == {"extract", "flat", "term_stats", "blocks", "block_stats"}
     assert metrics.filter(F.col("n_rows") <= 0).count() == 0
     assert metrics.filter(F.col("input_lineage") != "c50").count() == 0
 
@@ -65,6 +65,19 @@ def test_rerun_appends_no_duplicate_stage_metrics(spark, tmp_path):
     after = spark.read.parquet(wh.path("build_metrics"))
     assert after.filter(F.col("stage") == "extract").count() == extract_before
     assert after.filter(F.col("stage") == "blocks").count() > blocks_before
+
+
+def test_config_change_forces_rebuild(spark, tmp_path):
+    """ADVICE r1: rerunning build_index with a different config must not
+    serve stages built under the old config (the query-side bucket math
+    would silently diverge from the stored layout)."""
+    root = str(tmp_path / "wh")
+    pages = pages_df(spark, 50)
+    build_index(spark, pages, root, n_buckets=2, block_size=16, input_id="c50")
+    wh = build_index(spark, pages, root, n_buckets=3, block_size=16, input_id="c50")
+    buckets = spark.read.parquet(wh.path("postings")).select("bucket").distinct().count()
+    assert buckets == 3  # stale 2-bucket layout would leave <= 2
+    assert search(spark, wh, "biology").count() > 0
 
 
 def test_search_works_after_resume(spark, tmp_path):

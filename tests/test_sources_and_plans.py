@@ -26,6 +26,17 @@ def test_read_and_hidden_filter(spark, pages_path):
     assert sources.hidden_filter(df, allow_hidden=True).count() == 67
 
 
+def test_recursive_scan(spark, tmp_path_factory):
+    """The reference's `-r` flag (cli.rs:443-445): files nested in
+    subdirectories are only found with recursive lookup."""
+    base = tmp_path_factory.mktemp("rec")
+    pages_df(spark, 10).write.parquet(str(base / "deep" / "leaf"))
+    got = sources.read_pages(spark, str(base), recursive=True)
+    assert got.count() == 16  # 10 + 6 edge rows
+    with pytest.raises(Exception):
+        sources.read_pages(spark, str(base)).count()
+
+
 def test_multi_union(spark, pages_path):
     df = sources.read_multi(spark, [pages_path, pages_path])
     assert df.count() == 134
