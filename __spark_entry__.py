@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lsearch_spark import sources
 from lsearch_spark.build import build_index
 from lsearch_spark.functions import ann, dedup, multimodal, textstats
 from lsearch_spark.functions.lsearch import ContentRun, cascade, has, hasnt, is_, more_count, not_
@@ -48,6 +49,32 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents reshaped to a pages-like surface (url/warc_ts derived
+    deterministically from doc_id, twin formula in the oracles) so the
+    source operators (SURVEY §2.1) get real DuckDB oracles."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("doc://d"), F.col("doc_id").cast("string"), F.lit("/"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.lit("f"), (F.col("doc_id") % 7).cast("string"), F.lit(".txt"),
+        ).alias("url"),
+        F.timestamp_millis(((F.lit(1704067200) + F.col("doc_id") * 37) * 1000).cast("long")).alias("warc_ts"),
+        "lang",
+    )
+
+
+_PAGES_SQL = """
+SELECT doc_id,
+       'doc://d' || doc_id || '/' || (CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END)
+           || 'f' || (doc_id % 7) || '.txt' AS url,
+       epoch_ms((1704067200 + doc_id * 37) * 1000) AS warc_ts,
+       lang
+FROM documents
+"""
 
 
 # ------------------------------------------------- engine warehouse (cached)
@@ -139,6 +166,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", "score")
     )
 
+    q["cascade_two_runs"] = lambda s, d: (
+        cascade(
+            _docs(s, d),
+            [
+                ContentRun("content-text", [("has", "data")]),
+                ContentRun("content-text", [("hasnt", "merge"), ("more", "query")]),
+            ],
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(30)
+        .select("doc_id", "score")
+    )
+
+    # --- source operators (SURVEY §2.1) over the derived pages surface ---
+    q["hidden_filter"] = lambda s, d: sources.hidden_filter(_docs_pages(s, d)).select("doc_id")
+    q["long_listing"] = lambda s, d: sources.long_listing(_docs_pages(s, d))
+    q["read_multi_union"] = lambda s, d: sources.read_multi(
+        s, [os.path.join(d, "documents.parquet")] * 2
+    ).select("doc_id", "source")
+
     # --- index-build aggregations (SURVEY §2.7) ---
     q["term_df_top20"] = lambda s, d: (
         _docs(s, d)
@@ -190,10 +237,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double"))),
         [float(x) for x in _qvec(s, d)], k=10,
     ).select("vec_id", F.round("cosine", 6).alias("cosine"))
-    q["ann_lsh_top10"] = lambda s, d: ann.cosine_topk_lsh(
-        _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double"))),
-        [float(x) for x in _qvec(s, d)], k=10, n_planes=10, radius=2,
-    ).select("vec_id", F.round("cosine", 6).alias("cosine"))  # rows-only: approximate
+    def _ann_lsh(s, d):
+        # the scale path: signatures materialized at ingest, partitioned
+        # by _sig -> the probe is a partition-pruned scan (same results
+        # as the on-the-fly variant with identical planes/probes)
+        key = os.path.basename(os.path.normpath(d)) or "root"
+        path = os.path.join(tempfile.gettempdir(), f"lsearch_ann_{key}")
+        if not os.path.exists(path + ".ok"):
+            e = _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+            ann.build_ann_index(s, e, path, n_planes=10)
+            open(path + ".ok", "w").write("ok")
+        return ann.cosine_topk_lsh_indexed(
+            s, path, [float(x) for x in _qvec(s, d)], k=10, n_planes=10, radius=2
+        ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    q["ann_lsh_top10"] = _ann_lsh  # rows-only: approximate
     q["embedding_norms"] = lambda s, d: _emb(s, d).select(
         "vec_id",
         F.round(ann.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("l2"),
@@ -258,6 +316,23 @@ def oracle_sql() -> dict[str, str]:
         "cascade_topk": (
             "SELECT doc_id, 1.0 + (1.0 + (length(text) - length(replace(text, 'the', ''))) / 3.0) AS score "
             "FROM documents WHERE contains(text, 'data') ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "cascade_two_runs": (
+            "SELECT doc_id, 1.0 + (1.0 + (length(text) - length(replace(text, 'query', ''))) / 5.0) AS score "
+            "FROM documents WHERE contains(text, 'data') AND NOT contains(text, 'merge') "
+            "ORDER BY score DESC, doc_id LIMIT 30"
+        ),
+        "hidden_filter": (
+            f"WITH p AS ({_PAGES_SQL}) SELECT doc_id FROM p "
+            "WHERE NOT starts_with(regexp_extract(url, '([^/]*)$', 1), '.')"
+        ),
+        "long_listing": (
+            f"WITH p AS ({_PAGES_SQL}) "
+            "SELECT url, strftime(warc_ts, '%b %d %H:%M') AS modified, "
+            "regexp_extract(url, '([^/]*)$', 1) AS title, lang FROM p"
+        ),
+        "read_multi_union": (
+            "SELECT doc_id, source FROM documents UNION ALL SELECT doc_id, source FROM documents"
         ),
         "term_df_top20": (
             f"SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "

@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 )
 
 from . import B, BLOCK_SIZE, K1
+from . import catalog, fsio
 from .codec import i64_to_u64_order, varint_encode_segmented
 from .extract import extracted_text_col
 from .tokenize import tokens_col
@@ -95,18 +96,11 @@ class Warehouse:
         return os.path.join(self.manifests, f"{stage}.json")
 
     def read_manifest(self, stage: str) -> dict | None:
-        p = self.manifest_path(stage)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        return None
+        raw = fsio.read_bytes(self.manifest_path(stage))
+        return None if raw is None else json.loads(raw)
 
     def write_manifest(self, stage: str, payload: dict) -> None:
-        os.makedirs(self.manifests, exist_ok=True)
-        tmp = self.manifest_path(stage) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, self.manifest_path(stage))
+        fsio.write_bytes(self.manifest_path(stage), json.dumps(payload).encode())
 
     def corpus_stats(self, spark: SparkSession) -> dict:
         row = spark.read.parquet(self.path("corpus_stats")).collect()[0]
@@ -122,7 +116,6 @@ def _write_metrics(spark, wh: Warehouse, run_id, stage, rows: list[tuple], wall_
     import uuid
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     table = pa.table(
         {
@@ -135,8 +128,9 @@ def _write_metrics(spark, wh: Warehouse, run_id, stage, rows: list[tuple], wall_
             "input_lineage": pa.array([lineage] * len(rows), pa.string()),
         }
     )
-    os.makedirs(wh.path("build_metrics"), exist_ok=True)
-    pq.write_table(table, os.path.join(wh.path("build_metrics"), f"part-{run_id}-{stage}-{uuid.uuid4().hex}.parquet"))
+    fsio.write_parquet_bytes(
+        os.path.join(wh.path("build_metrics"), f"part-{run_id}-{stage}-{uuid.uuid4().hex}.parquet"), table
+    )
 
 
 def _observed(df: DataFrame, stage: str, *extra_aggs):
@@ -147,14 +141,11 @@ def _observed(df: DataFrame, stage: str, *extra_aggs):
 
 
 def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
-    """Single-row stats table, written driver-side (pyarrow) — schema:
-    n_docs long, avgdl double, total_tokens long."""
+    """Single-row stats table, written driver-side (pyarrow through the
+    Hadoop FS seam) — schema: n_docs long, avgdl double, total_tokens long."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    import shutil as _sh
-
-    _sh.rmtree(wh.path("corpus_stats"), ignore_errors=True)
+    fsio.remove(wh.path("corpus_stats"), recursive=True)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     table = pa.table(
         {
@@ -163,15 +154,14 @@ def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
             "total_tokens": pa.array([total_tokens], pa.int64()),
         }
     )
-    os.makedirs(wh.path("corpus_stats"), exist_ok=True)
-    pq.write_table(table, os.path.join(wh.path("corpus_stats"), "part-0.parquet"))
+    fsio.write_parquet_bytes(os.path.join(wh.path("corpus_stats"), "part-0.parquet"), table)
 
 
 def read_docs(spark: SparkSession, wh: Warehouse) -> DataFrame:
     """docs table (doc_id, url, warc_ts, lang, tokens, doc_len) — doc_len
     materialized lazily from the stored token stream (SURVEY §1.2 schema);
     consumers that don't touch tokens/doc_len get them pruned away."""
-    d = spark.read.parquet(wh.path("docs"))
+    d = catalog.read_table(spark, wh.root, "docs")
     return d.withColumn("doc_len", F.size("tokens"))
 
 
@@ -350,7 +340,7 @@ def build_index(
     (deterministic under resume and cluster size — SURVEY.md §2.8).
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
-    os.makedirs(wh.root, exist_ok=True)
+    fsio.mkdirs(wh.root)
     cfg = {"n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df, "n_salts": n_salts, "k1": K1, "b": B}
     # Resume correctness: stage manifests key on (input_id, config) — a
     # rerun with a different n_buckets/block_size/... must NOT skip stages
@@ -367,9 +357,7 @@ def build_index(
         if _stage_done(wh, stage, fingerprint, resume):
             return False
         for later in STAGES[STAGES.index(stage) + 1 :]:
-            p = wh.manifest_path(later)
-            if os.path.exists(p):
-                os.remove(p)
+            fsio.remove(wh.manifest_path(later))
         return True
 
     def finish(stage, t0, rows):
@@ -403,14 +391,14 @@ def build_index(
         text = extracted_text_col() if from_html else F.col("text")
         dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
         dt, obs = _observed(dt, "extract", F.sum(F.size("tokens")).alias("total_tokens"))
-        dt.write.mode("overwrite").parquet(wh.path("docs"))
+        catalog.write_table(spark, dt, wh.root, "docs")
         # corpus stats fall out of the same observation — no extra job
         n_docs = int(obs.get["n_rows"])
         total_tokens = int(obs.get["total_tokens"] or 0)
         _write_corpus_stats(wh, n_docs, total_tokens)
         finish("extract", t0, [(-1, n_docs, None)])
 
-    docs_text = spark.read.parquet(wh.path("docs"))
+    docs_text = catalog.read_table(spark, wh.root, "docs")
 
     # ---- stage: flat postings ----------------------------------------------
     if stage_runs("flat"):
@@ -437,10 +425,10 @@ def build_index(
         # NOT partitionBy(bucket): every consumer (term_stats, blocks) is a
         # full scan, and Hive-partitioning here would fan out into
         # shuffle_partitions x n_buckets tiny files.
-        flat.write.mode("overwrite").parquet(wh.path("postings_flat"))
+        catalog.write_table(spark, flat, wh.root, "postings_flat")
         finish("flat", t0, [(-1, obs.get["n_rows"], None)])
 
-    flat = spark.read.parquet(wh.path("postings_flat"))
+    flat = catalog.read_table(spark, wh.root, "postings_flat")
 
     # ---- stage: term_stats + corpus_stats ----------------------------------
     if stage_runs("term_stats"):
@@ -450,7 +438,7 @@ def build_index(
             F.sum("tf").cast("long").alias("cf"),
         )
         ts, obs = _observed(ts, "term_stats")
-        ts.write.mode("overwrite").parquet(wh.path("term_stats"))
+        catalog.write_table(spark, ts, wh.root, "term_stats")
         finish("term_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     # ---- stage: compressed blocks ------------------------------------------
@@ -459,7 +447,7 @@ def build_index(
         stats = wh.corpus_stats(spark)
         avgdl = float(stats["avgdl"])
         hot_terms = (
-            spark.read.parquet(wh.path("term_stats"))
+            catalog.read_table(spark, wh.root, "term_stats")
             .filter(F.col("df") >= hot_df)
             .select("term", F.lit(True).alias("is_hot"))
         )
@@ -483,20 +471,31 @@ def build_index(
         # ~10-row files). At cluster scale raise n_buckets so a bucket
         # stays ~file-sized, or add a second repartition key here.
         blocks = blocks.repartition(n_buckets, "bucket")
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(wh.path("postings"))
+        catalog.write_table(spark, blocks, wh.root, "postings", partition_by=["bucket"])
         n_blocks = obs.get["n_rows"]
-        # per-bucket lineage rows from parquet FOOTERS (driver-side pyarrow
-        # metadata walk — no Spark job)
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
         per_bucket = []
-        for bdir in sorted(_glob.glob(os.path.join(wh.path("postings"), "bucket=*"))):
-            bid = int(os.path.basename(bdir).split("=")[1])
-            n = sum(_pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(os.path.join(bdir, "*.parquet")))
-            nb = sum(os.path.getsize(f) for f in _glob.glob(os.path.join(bdir, "*.parquet")))
-            per_bucket.append((bid, n, nb))
+        if catalog.iceberg_catalog(spark) is not None:
+            pass  # Iceberg keeps its own per-file lineage in table metadata
+        elif not fsio.has_scheme(wh.root):
+            # per-bucket lineage rows from parquet FOOTERS (driver-side
+            # pyarrow metadata walk — no Spark job)
+            import pyarrow.parquet as _pq
+
+            for bdir in fsio.list_glob(os.path.join(wh.path("postings"), "bucket=*")):
+                bid = int(os.path.basename(bdir).split("=")[1])
+                files = fsio.file_sizes(os.path.join(bdir, "*.parquet"))
+                n = sum(_pq.ParquetFile(f).metadata.num_rows for f, _ in files)
+                per_bucket.append((bid, n, sum(sz for _, sz in files)))
+        else:
+            # remote warehouse: one cheap partition-column-only agg
+            counts = {
+                int(r["bucket"]): int(r["n"])
+                for r in spark.read.parquet(wh.path("postings")).groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
+            for bdir in fsio.list_glob(os.path.join(wh.path("postings"), "bucket=*")):
+                bid = int(bdir.rsplit("=", 1)[1])
+                nb = sum(sz for _, sz in fsio.file_sizes(bdir + "/*.parquet"))
+                per_bucket.append((bid, counts.get(bid, 0), nb))
         finish("blocks", t0, per_bucket or [(-1, n_blocks, None)])
 
     # ---- stage: per-term block summary (query-side pruning metadata) --------
@@ -519,7 +518,7 @@ def build_index(
     if stage_runs("block_stats"):
         t0 = time.time()
         K_TOP = 32
-        pb = spark.read.parquet(wh.path("postings"))
+        pb = catalog.read_table(spark, wh.root, "postings")
         partial = pb.groupBy("term", "salt").agg(
             F.count("*").cast("long").alias("nb"),
             F.sum("n_docs").cast("long").alias("np"),
@@ -535,7 +534,7 @@ def build_index(
             .withColumn("ub_wand", F.col("top_wands")[0])
         )
         bs, obs = _observed(bs, "block_stats")
-        bs.write.mode("overwrite").parquet(wh.path("term_block_stats"))
+        catalog.write_table(spark, bs, wh.root, "term_block_stats")
         finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     from .query import invalidate_cache  # lazy: query imports Warehouse from here

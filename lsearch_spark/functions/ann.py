@@ -70,6 +70,15 @@ def _probe_sigs(qsig: int, n_planes: int, radius: int = 1) -> list[int]:
     return sorted(sigs)
 
 
+def _query_sig(query_vec, planes: np.ndarray) -> int:
+    qvec = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qvec, p)) > 0:
+            qsig |= 1 << i
+    return qsig
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec,
@@ -80,20 +89,63 @@ def cosine_topk_lsh(
     radius: int = 2,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: filter to multi-probe LSH buckets, exact rerank.
-    Recall grows with radius; the scan touches only matching buckets
-    (at scale: partition-pruned when the table is written partitioned
-    by signature)."""
+    """Approximate top-k with ON-THE-FLY signatures: every query still
+    scans the full table (the signature filter cannot prune the scan
+    because it is computed per row at query time). Correct, but NOT the
+    scale path — use build_ann_index + cosine_topk_lsh_indexed, which
+    materializes `_sig` as a partition column so a probe reads only the
+    matching partition directories."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qvec = np.asarray(query_vec, dtype=np.float64)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(qvec, p)) > 0:
-            qsig |= 1 << i
-    probes = _probe_sigs(qsig, n_planes, radius)
+    probes = _probe_sigs(_query_sig(query_vec, planes), n_planes, radius)
     sig = lsh_signature(F.col(emb_col), planes)
     bucketed = df.withColumn("_sig", sig).filter(F.col("_sig").isin(probes))
     return cosine_topk(bucketed, query_vec, k, id_col, emb_col)
+
+
+def build_ann_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+) -> str:
+    """Materialize LSH signatures at INGEST and write the table Hive-
+    partitioned by `_sig` (the 100 TB path): signatures are computed once
+    per row ever, and a query's multi-probe bucket set becomes partition
+    pruning — the scan touches ~(1 + n_planes + C(n_planes,2)) of the
+    2^n_planes directories instead of the full table. Size n_planes so
+    each partition holds ~rows/2^n_planes vectors (bigger corpora take
+    more planes, keeping probed bytes roughly constant)."""
+    if dim is None:
+        dim = int(df.select(F.size(emb_col).alias("d")).first()["d"])
+    planes = hyperplanes(dim, n_planes, seed)
+    out = df.withColumn("_sig", lsh_signature(F.col(emb_col), planes))
+    # one shuffle co-locates each signature -> one file per partition dir
+    out.repartition(F.col("_sig")).write.mode("overwrite").partitionBy("_sig").parquet(path)
+    return path
+
+
+def cosine_topk_lsh_indexed(
+    spark,
+    index_path: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 12,
+    radius: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k over a build_ann_index table: filter on the
+    `_sig` PARTITION column (partition-pruned scan), exact cosine rerank
+    inside the probed buckets. Same results as cosine_topk_lsh with the
+    same planes/probes — minus the full-table scan."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probes = _probe_sigs(_query_sig(query_vec, planes), n_planes, radius)
+    df = spark.read.parquet(index_path).filter(F.col("_sig").isin(probes))
+    return cosine_topk(df, query_vec, k, id_col, emb_col)
 
 
 def embedding_near_dups(

@@ -126,24 +126,38 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------ simhash
 def simhash64(text: Column | str = "text") -> Column:
-    """64-bit SimHash of the token stream (tf-weighted), one Catalyst
-    expression: bit_j = sign(sum over tokens of +/-1 by hash bit j)."""
+    """64-bit SimHash of the token stream (tf-weighted), single-pass:
+    ONE aggregate over the per-token hashes accumulates all 64 bit
+    counters (zip_with over a length-64 array), then bit_j is set iff
+    2*count_j > n_tokens — identical signatures to a per-bit +/-1 vote.
+    Each token is hashed once (round 1 ran 64 separate aggregate passes,
+    re-hashing every token per bit: measured 3.3x slower warm, with a
+    64x larger codegen tree). Still zero Python in the hot path."""
     toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    def ones_at(j: int):  # factory so the Spark lambda stays binary
-        return F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    def bits_of(h: Column) -> Column:
+        # call_function: the SQL shiftrightunsigned accepts a column shift
+        # amount (the classic pyspark wrapper is literal-int only)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.call_function("shiftrightunsigned", h, j).bitwiseAND(F.lit(1)).cast("long"),
         )
 
-    packed = F.lit(0).cast("long")
-    for j in range(64):  # python loop builds ONE expression tree; shift
-        # amounts must be literal ints in the classic Column API
-        bit = F.when(ones_at(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = packed.bitwiseOR(F.shiftleft(bit, j))
-    return packed
+    counts = F.aggregate(hashes, zeros, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b))
+    n = F.size(toks)
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, j: F.when(c * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -84,24 +84,41 @@ def decode_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 
 
 def decode_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Whole-batch vectorized: all payloads in an Arrow batch concatenate
+    into ONE sample array; per-row duration/RMS/zero-crossings come from
+    segmented reductions (np.add.reduceat) — no per-row python loop."""
+
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
                 raise NotImplementedError("real audio decode needs soundfile/ffmpeg — plug in here")
-            out = []
-            for _, r in pdf.iterrows():
-                b = bytes(r["payload"])
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
-                out.append(
-                    (
-                        int(r["media_id"]),
-                        int(r["sample_rate"]),
-                        len(arr) / float(r["sample_rate"]),
-                        float(np.sqrt(np.mean(arr**2))) if len(arr) else 0.0,
-                        int(np.sum(np.abs(np.diff(np.signbit(arr).astype(np.int8))))),
-                    )
-                )
-            yield pd.DataFrame(out, columns=["media_id", "sample_rate", "duration_s", "rms", "zero_crossings"])
+            if not len(pdf):
+                continue
+            bufs = [bytes(p) for p in pdf["payload"]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            keep = lens > 0  # reduceat needs non-empty segments
+            pdf, bufs, lens = pdf[keep], [b for b, k in zip(bufs, keep) if k], lens[keep]
+            if not len(pdf):
+                continue
+            cat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sumsq = np.add.reduceat(cat * cat, starts)
+            # zero crossings: sign flips within each segment only — the
+            # diff at each segment boundary is masked out before reduceat
+            sb = np.signbit(cat).astype(np.int8)
+            d = np.abs(np.diff(sb, append=np.int8(0)))
+            d[np.cumsum(lens) - 1] = 0
+            zc = np.add.reduceat(d, starts)
+            sr = pdf["sample_rate"].to_numpy().astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                    "sample_rate": pdf["sample_rate"].astype("int32").to_numpy(),
+                    "duration_s": lens / sr,
+                    "rms": np.sqrt(sumsq / lens),
+                    "zero_crossings": zc.astype(np.int64),
+                }
+            )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(it, AUDIO_FEATURES_SCHEMA)
 
@@ -114,14 +131,28 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "fake") -> 
         for pdf in batches:
             if decode == "real":
                 raise NotImplementedError("real frame demux needs ffmpeg — plug in here")
-            ids, idxs, payloads = [], [], []
-            for _, r in pdf.iterrows():
-                b = bytes(r["payload"])
-                for fi in range(0, int(r["n_frames"]), every_n):
-                    ids.append(int(r["media_id"]))
-                    idxs.append(fi)
-                    start = (fi * 7) % max(len(b) - 8, 1)
-                    payloads.append(b[start : start + 8])
-            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"), "frame_idx": pd.Series(idxs, dtype="int32"), "frame_payload": payloads})
+            if not len(pdf):
+                continue
+            bufs = [bytes(p) for p in pdf["payload"]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            nf = pdf["n_frames"].to_numpy().astype(np.int64)
+            counts = -(-np.maximum(nf, 0) // every_n)  # ceil(n_frames/every_n)
+            row_of = np.repeat(np.arange(len(pdf)), counts)  # video index per frame
+            first = np.concatenate(([0], np.cumsum(counts[:-1]))) if len(counts) else counts
+            frame_idx = (np.arange(int(counts.sum())) - np.repeat(first, counts)) * every_n
+            # fake 'demux': an 8-byte window into the source payload —
+            # gathered for the whole batch with one fancy-index (the only
+            # residual python is materializing bytes objects for output)
+            cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            offs = base[row_of] + (frame_idx * 7) % np.maximum(lens[row_of] - 8, 1)
+            windows = cat[np.minimum(offs[:, None] + np.arange(8), (base + lens)[row_of][:, None] - 1)]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy()[row_of],
+                    "frame_idx": pd.Series(frame_idx, dtype="int32"),
+                    "frame_payload": [w.tobytes() for w in windows],
+                }
+            )
 
     return media.filter(F.col("kind") == "video").mapInPandas(it, FRAME_SCHEMA)

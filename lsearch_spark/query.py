@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import B, K1
+from . import catalog
 from .build import Warehouse
 from .codec import decode_ids_signed, decode_positions_flat, u64_to_i64_order, varint_decode
 from .oracle import parse_query
@@ -82,10 +83,10 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
             # only queried terms, never the full term_stats table)
             "bstats": {},  # per-term block summary (ub_wand/full_min_wand/
             # n_blocks) for driver-side WAND pruning
-            "postings_rel": spark.read.parquet(wh.path("postings")),  # keeps
+            "postings_rel": catalog.read_table(spark, wh.root, "postings"),  # keeps
             # the FileIndex warm across queries (re-listing bucket dirs per
             # query is pure metadata overhead)
-            "term_stats_rel": spark.read.parquet(wh.path("term_stats")),
+            "term_stats_rel": catalog.read_table(spark, wh.root, "term_stats"),
             "block_stats_rel": None,  # lazy: absent on pre-round-2 indexes
         }
         _WH_CACHE[wh.root] = st
@@ -108,7 +109,7 @@ def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[
     existed simply yields {} (pruning then falls back to exhaustive)."""
     if st["block_stats_rel"] is None:
         try:
-            rel = spark.read.parquet(wh.path("term_block_stats"))
+            rel = catalog.read_table(spark, wh.root, "term_block_stats")
             # absent or pre-format-2 table -> no pruning (never wrong results)
             st["block_stats_rel"] = rel if "top_wands" in rel.columns else False
         except Exception:
@@ -388,7 +389,7 @@ def search(
         topk = _agg_topk(scored, len(live), mode, neg_docs, k)
 
     if with_url:
-        docs = spark.read.parquet(wh.path("docs")).select("doc_id", "url")
+        docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "url")
         topk = (
             F.broadcast(topk).join(docs, "doc_id")
             .select("doc_id", "score", "url")
@@ -399,13 +400,15 @@ def search(
 
 # ----------------------------------------------------- query instrumentation
 def _write_query_metrics(wh: Warehouse, info: dict) -> None:
-    """Append one query_metrics row (driver-side pyarrow — a 1-row Spark
-    write costs seconds of scheduler overhead). Schema mirrors the
-    reference's per-run stats report (cli.rs:58-70, 120-128)."""
+    """Append one query_metrics row (driver-side pyarrow through the
+    Hadoop FS seam — a 1-row Spark write costs seconds of scheduler
+    overhead). Schema mirrors the reference's per-run stats report
+    (cli.rs:58-70, 120-128)."""
     import os
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
+
+    from . import fsio
 
     table = pa.table(
         {
@@ -423,9 +426,9 @@ def _write_query_metrics(wh: Warehouse, info: dict) -> None:
             "wall_ms": pa.array([info.get("wall_ms")], pa.float64()),
         }
     )
-    d = wh.path("query_metrics")
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(table, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+    fsio.write_parquet_bytes(
+        os.path.join(wh.path("query_metrics"), f"part-{uuid.uuid4().hex}.parquet"), table
+    )
 
 
 def search_with_stats(

@@ -162,6 +162,23 @@ def test_lsh_topk_recall(spark, emb):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_lsh_indexed_matches_onthefly_and_prunes(spark, emb, tmp_path_factory):
+    """VERDICT r1 item 5: materialized-signature ANN index must give the
+    same results as the on-the-fly variant AND partition-prune the scan."""
+    path = str(tmp_path_factory.mktemp("annidx") / "emb_lsh")
+    e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    ann.build_ann_index(spark, e, path, n_planes=6)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    fly = ann.cosine_topk_lsh(e, q, k=5, n_planes=6, radius=2).collect()
+    idx = ann.cosine_topk_lsh_indexed(spark, path, q, k=5, n_planes=6, radius=2).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in fly] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in idx
+    ]
+    scan = spark.read.parquet(path).filter(F.col("_sig").isin([0, 1, 2]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_sig" in plan.split("PartitionFilters")[1][:200], plan
+
+
 def test_embedding_near_dups_self(spark, emb):
     # duplicate a vector -> the pair must surface at threshold ~1
     dup = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
