@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=["or", "and"], default="or")
     s.add_argument("--prune", action="store_true")
     s.add_argument("--urls", action="store_true")
+    s.add_argument("--stats", action="store_true", help="per-query stats (reference --stats, cli.rs:510-512)")
+    s.add_argument("--strats", action="store_true", help="print the plan summary (reference --strats, cli.rs:439-441)")
 
     d = sub.add_parser("demo", help="synthetic corpus -> build -> query")
     d.add_argument("--docs", type=int, default=2000)
@@ -60,13 +62,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"index built at {args.warehouse}")
     elif args.cmd == "search":
-        from .query import search
+        from .query import plan_summary, search, search_with_stats
 
-        out = search(spark, args.warehouse, args.query, k=args.k, mode=args.mode,
-                     prune=args.prune, with_url=args.urls)
-        for r in out.collect():
-            cols = f"[{r['score']:.4f}] {r['doc_id']}"
-            print(cols + (f" {r['url']}" if args.urls else ""))
+        if args.strats:
+            print(plan_summary(spark, args.warehouse, args.query, k=args.k, mode=args.mode, prune=args.prune))
+        if args.stats:
+            rows, info = search_with_stats(
+                spark, args.warehouse, args.query, k=args.k, mode=args.mode, prune=args.prune
+            )
+            for r in rows:
+                print(f"[{r['score']:.4f}] {r['doc_id']}")
+            print(
+                f"-- stats: {info['blocks_decoded']}/{info.get('blocks_total')} blocks decoded, "
+                f"{info['postings_decoded']} postings, {info['wall_ms']:.0f} ms"
+            )
+        else:
+            out = search(spark, args.warehouse, args.query, k=args.k, mode=args.mode,
+                         prune=args.prune, with_url=args.urls)
+            for r in out.collect():
+                cols = f"[{r['score']:.4f}] {r['doc_id']}"
+                print(cols + (f" {r['url']}" if args.urls else ""))
     elif args.cmd == "demo":
         from .build import build_index
         from .corpus import pages_df

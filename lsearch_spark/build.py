@@ -8,23 +8,29 @@ Stages (each a checkpointable DataFrame job with a manifest + metrics):
                [Arrow UDF hot path; the corpus is tokenized exactly ONCE,
                here — docs stores the token stream (a forward index), so
                no later stage re-runs translate+split over the text]
-  flat         docs -> postings_flat(term, doc_id, tf, positions,
-               doc_len, bucket) partitioned by bucket=pmod(xxhash64(term),P);
-               doc_len = size(tokens) on the read-back column (cheap)
-  term_stats   flat -> term_stats(term, df, cf) + corpus_stats(n_docs, avgdl)
-  blocks       flat -> postings(term, salt, block_id, min/max_doc_id,
-               n_docs, doc_ids, tfs, doc_lens, positions, block_max_tf,
-               block_max_wand, bucket) — delta-gap+varint compressed,
-               partitioned by bucket; hot terms (df >= hot_df) salted by
-               pmod(xxhash64(doc_id), n_salts) so no single task owns a
-               stopword's full posting list (AQE cannot split a hash-agg
-               hot key; this is the one manual physical-layout decision,
-               SURVEY.md §4.1)
+  flat         docs -> LOCAL PARTIAL POSTING CHUNKS: one row per
+               (term, sub-chunk) per batch with doc_ids/tfs/doc_lens/
+               positions as pre-encoded varint blobs — a NARROW Arrow
+               kernel (the (term, doc_id) grouping key lives inside one
+               document row, so token occurrences are never shuffled)
+  term_stats   flat -> term_stats(term, df, cf) from per-chunk counters
+  blocks       flat -> GLOBAL MERGE: chunks shuffle once on (term, salt)
+               (~1000x fewer rows than per-posting), the kernel
+               merge-sorts each group by doc_id and emits compressed
+               blocks(term, salt, block_id, min/max_doc_id, n_docs,
+               doc_ids, tfs, doc_lens, positions, block_max_tf,
+               block_max/min_wand, bucket). Hot terms (df >= hot_df) are
+               salted at CHUNK granularity (pmod(xxhash64(chunk doc_ids),
+               n_salts)) so no single task owns a stopword's posting list
+               (AQE cannot split a hash-agg hot key; this is the one
+               manual physical-layout decision, SURVEY.md §4.1)
+  block_stats  postings meta -> term_block_stats (per-term top-32 block
+               maxima; drives the driver-side WAND plan)
 
 Scale notes (designed for 10^12 docs / 1000 executors, tested local):
-  - the only wide shuffles are groupBy(term, doc_id) and
-    groupBy(term, salt); both are hash-partitioned on the term, and the
-    hot keys are salted before the second shuffle.
+  - ONE wide shuffle in the whole build: the posting-level
+    repartition(term, salt) feeding block assembly; its hot keys are
+    salted first. Token occurrences are never shuffled.
   - block_max_wand stores max over the block of
     tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) — the idf-free BM25 factor —
     so query-time upper bounds are idf(term) * block_max_wand without
@@ -57,7 +63,7 @@ from pyspark.sql.types import (
 
 from . import B, BLOCK_SIZE, K1
 from . import catalog, fsio
-from .codec import i64_to_u64_order, varint_encode_segmented
+from .codec import i64_to_u64_order, u64_to_i64_order, varint_decode, varint_encode_all, varint_encode_segmented
 from .extract import extracted_text_col
 from .tokenize import tokens_col
 
@@ -170,7 +176,7 @@ STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats"]
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
 # served with a stale schema
-INDEX_FORMAT = 2
+INDEX_FORMAT = 4  # v4: flat = local partial posting chunks (pre-encoded)
 
 
 def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bool:
@@ -178,108 +184,277 @@ def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bo
     return bool(resume and m and m.get("fingerprint") == fingerprint and m.get("ok"))
 
 
-def _make_block_mapper(block_size: int, avgdl: float):
-    """mapInArrow kernel over data sorted by (term, salt, doc_id) within
-    the partition: emits compressed blocks for every complete (term, salt)
-    group in each Arrow batch, carrying the trailing (possibly split)
-    group into the next batch.
+FLAT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("seq", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("cf", LongType()),
+        StructField("doc_ids", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("doc_lens", BinaryType()),
+        StructField("positions", BinaryType()),
+        StructField("pos_lens", BinaryType()),
+    ]
+)
 
-    Arrow-native on purpose: the positions column is a list<int> whose
-    values/offsets buffers convert to numpy ZERO-COPY, so the per-doc
-    delta-gap encoding is one vectorized pass over every position in the
-    batch (a pandas path would materialize millions of python list
-    objects). Per-block python work is slicing + one varint encode.
+
+def _make_flat_mapper(block_size: int):
+    """tokens -> LOCAL PARTIAL POSTING CHUNKS, entirely within each input
+    partition (the north_star's "tokenize -> local partial postings ->
+    global merge": this is the local step).
+
+    One output row per (term, sub-chunk) per partition, carrying the
+    chunk's doc_ids/tfs/doc_lens/positions as pre-encoded varint blobs
+    (positions delta-gapped per doc, sliced from ONE whole-partition
+    encode). Compared to round 1's groupBy(term, doc_id) this removes the
+    token-occurrence shuffle entirely AND collapses the posting-level
+    shuffle from one row per (term, doc) to one row per (term, chunk) —
+    measured: the local-mode shuffle machinery is row-count-bound and
+    does not scale with cores, so fewer/bigger rows is the lever.
+
+    Chunks are capped at 4*block_size docs (`seq` = sub-chunk index), so
+    a stopword's postings arrive pre-split and the blocks stage can salt
+    them across tasks even when the corpus came from a single partition.
     """
     import pyarrow as pa
-
     import pyarrow.compute as pc
 
-    def _group_bounds(tbl: pa.Table):
-        """change points of (term, salt) without materializing python
-        strings — pc.not_equal is a C++ kernel over the whole column."""
-        n = tbl.num_rows
+    chunk_docs = 4 * block_size
+
+    def mapper(batches):
+      # per-BATCH processing (not per-partition): buffering the whole
+      # partition measured a ~13s 16-core floor from allocation/reclaim
+      # contention; per-batch keeps worker memory flat. Chunks simply
+      # don't span batches — more, smaller chunks, same semantics.
+      for rb in batches:
+        tbl = pa.Table.from_batches([rb])
+        if not tbl.num_rows:
+            continue
+        arr = tbl["tokens"].combine_chunks()
+        offsets = np.asarray(arr.offsets, dtype=np.int64)  # absolute into .values
+        counts = np.diff(offsets)
+        total = int(offsets[-1] - offsets[0])
+        if total == 0:
+            continue
+        docs = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(docs)), counts)
+        docid_tok = docs[doc_idx]
+        pos = (np.arange(offsets[0], offsets[-1]) - np.repeat(offsets[:-1], counts)).astype(np.int64)
+        vals = arr.values.slice(int(offsets[0]), total)
+        sort_tbl = pa.table(
+            {"t": vals, "d": pa.array(docid_tok), "p": pa.array(pos), "i": pa.array(doc_idx)}
+        )
+        idx = pc.sort_indices(
+            sort_tbl, sort_keys=[("t", "ascending"), ("d", "ascending"), ("p", "ascending")]
+        )
+        st = sort_tbl.take(idx)
+        t_s = st["t"].combine_chunks()
+        d_s = st["d"].to_numpy(zero_copy_only=False)
+        p_s = st["p"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        i_s = st["i"].to_numpy(zero_copy_only=False)
+
+        # ---- doc-group bounds: (term, doc) change points ----
+        neq_t = (
+            pc.not_equal(t_s.slice(1), t_s.slice(0, total - 1)).to_numpy(zero_copy_only=False)
+            if total > 1
+            else np.array([], dtype=bool)
+        )
+        dchange = np.flatnonzero(neq_t | (d_s[1:] != d_s[:-1])) if total > 1 else np.array([], dtype=np.int64)
+        dstarts = np.concatenate(([0], dchange + 1))
+        dends = np.concatenate((dstarts[1:], [total]))
+        tf = (dends - dstarts).astype(np.int64)
+        dls = counts[i_s[dstarts]].astype(np.int64)
+        ids_dg = d_s[dstarts]
+
+        # ---- positions: ONE whole-partition encode, then byte slicing ----
+        gaps = p_s.copy()
+        if total > 1:
+            gaps[1:] = p_s[1:] - p_s[:-1]
+        gaps[dstarts] = p_s[dstarts]
+        posbuf, valoffs = varint_encode_all(gaps)
+        doc_byte_start = valoffs[dstarts]
+        doc_byte_end = valoffs[dends]
+        doc_byte_len = doc_byte_end - doc_byte_start
+
+        # ---- term bounds at doc-group level, then sub-chunk split ----
+        ndg = len(dstarts)
+        tflag = np.zeros(ndg, dtype=bool)
+        tflag[0] = True
+        if total > 1:
+            # a term change point is always also a doc-group start
+            tstarts_tok = np.flatnonzero(neq_t) + 1
+            tflag[np.searchsorted(dstarts, tstarts_tok)] = True
+        tg_starts = np.flatnonzero(tflag)
+        tg_ends = np.concatenate((tg_starts[1:], [ndg]))
+        glens = tg_ends - tg_starts
+        nch = -(-glens // chunk_docs)
+        n_chunks = int(nch.sum())
+        gi = np.repeat(np.arange(len(tg_starts)), nch)
+        first = np.concatenate(([0], np.cumsum(nch[:-1]))) if len(nch) else np.array([], dtype=np.int64)
+        seq = np.arange(n_chunks, dtype=np.int64) - np.repeat(first, nch)
+        cstarts = tg_starts[gi] + seq * chunk_docs
+        cends = np.minimum(cstarts + chunk_docs, tg_ends[gi])
+
+        # ---- per-chunk encodes (vectorized segmented varints) ----
+        ids_u = i64_to_u64_order(ids_dg)
+        id_gaps = ids_u.copy()
+        if ndg > 1:
+            id_gaps[1:] = ids_u[1:] - ids_u[:-1]
+        id_gaps[cstarts] = ids_u[cstarts]
+        ids_b = varint_encode_segmented(id_gaps, cstarts, cends)
+        tfs_b = varint_encode_segmented(tf.astype(np.uint64), cstarts, cends)
+        dls_b = varint_encode_segmented(dls.astype(np.uint64), cstarts, cends)
+        plens_b = varint_encode_segmented(doc_byte_len.astype(np.uint64), cstarts, cends)
+        pos_b = [posbuf[doc_byte_start[s_] : doc_byte_end[e_ - 1]] for s_, e_ in zip(cstarts, cends)]
+        cf = np.add.reduceat(tf, cstarts) if n_chunks else np.array([], dtype=np.int64)
+
+        yield pa.record_batch(
+            [
+                t_s.take(pa.array(dstarts[cstarts])),
+                pa.array(seq.astype(np.int32), pa.int32()),
+                pa.array((cends - cstarts).astype(np.int32), pa.int32()),
+                pa.array(cf.astype(np.int64), pa.int64()),
+                pa.array(ids_b, pa.binary()),
+                pa.array(tfs_b, pa.binary()),
+                pa.array(dls_b, pa.binary()),
+                pa.array(pos_b, pa.binary()),
+                pa.array(plens_b, pa.binary()),
+            ],
+            names=["term", "seq", "n_docs", "cf", "doc_ids", "tfs", "doc_lens", "positions", "pos_lens"],
+        )
+
+    return mapper
+
+
+def _make_block_mapper(block_size: int, avgdl: float):
+    """GLOBAL-MERGE kernel (the north_star's "global merge-sort by
+    (term, docID) -> compress"): consumes (term, salt)-hash-partitioned
+    PARTIAL POSTING CHUNKS (one row per term sub-chunk, binary columns
+    from _make_flat_mapper), decodes the whole partition's ids/tfs/
+    doc_lens in single vectorized varint passes, merge-sorts postings by
+    doc_id within each (term, salt) group with ONE numpy lexsort, and
+    emits compressed blocks.
+
+    Per-doc position streams are NEVER decoded: they were encoded once in
+    the flat kernel and move into block order via one vectorized
+    byte-gather. Per-block python work is two byte slices.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def mapper(batches):
+        tbls = [pa.Table.from_batches([rb]) for rb in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        nrows = tbl.num_rows
+        if not nrows:
+            return
+        # contiguous (term, salt) chunk groups — one row per CHUNK, so
+        # this string sort is over ~1000x fewer rows than postings
+        idx = pc.sort_indices(tbl, sort_keys=[("term", "ascending"), ("salt", "ascending")])
+        tbl = tbl.take(idx).combine_chunks()
         tcol = tbl["term"].combine_chunks()
-        salt = tbl["salt"].to_numpy(zero_copy_only=False)
-        if n <= 1:
-            return np.array([], dtype=np.int64), tcol, salt
-        neq_t = pc.not_equal(tcol.slice(1), tcol.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-        neq = neq_t | (salt[1:] != salt[:-1])
-        return np.flatnonzero(neq), tcol, salt
-
-    def emit(tbl: pa.Table) -> pa.RecordBatch:
-        change, tcol, salt = _group_bounds(tbl)
+        salt = tbl["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_lens = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_arr = tbl["positions"].combine_chunks()
-        # offsets index into the (possibly unsliced) child values buffer;
-        # .values and .offsets are always mutually consistent, so absolute
-        # indexing is correct whether or not the array was sliced
-        offsets = np.asarray(pos_arr.offsets, dtype=np.int64)  # len n+1
-        pvals = np.asarray(pos_arr.values).astype(np.uint64)
+        nd = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if nrows > 1:
+            neq_t = pc.not_equal(tcol.slice(1), tcol.slice(0, nrows - 1)).to_numpy(zero_copy_only=False)
+            gid_chunk = np.concatenate(([0], np.cumsum(neq_t | (salt[1:] != salt[:-1]))))
+        else:
+            gid_chunk = np.zeros(1, dtype=np.int64)
 
-        n = tbl.num_rows
-        gstarts = np.concatenate(([0], change + 1))
-        gends = np.concatenate((gstarts[1:], [n]))
+        def raw(col):
+            """(data bytes as np.uint8, absolute per-row byte offsets)."""
+            c = tbl[col].combine_chunks()
+            bufs = c.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[c.offset : c.offset + len(c) + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+            return data, offs
+
+        # ---- whole-partition decodes (one vectorized pass per column) ----
+        ids_data, ids_offs = raw("doc_ids")
+        gaps = varint_decode(ids_data[ids_offs[0] : ids_offs[-1]].tobytes())
+        n_post = int(nd.sum())
+        post_offs = np.concatenate(([0], np.cumsum(nd)))
+        starts = post_offs[:-1]
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        base = csum[starts] - gaps[starts]
+        ids = u64_to_i64_order(csum - np.repeat(base, nd))
+        tfs_data, t_offs = raw("tfs")
+        tfs = varint_decode(tfs_data[t_offs[0] : t_offs[-1]].tobytes()).astype(np.int64)
+        dls_data, d_offs = raw("doc_lens")
+        dls = varint_decode(dls_data[d_offs[0] : d_offs[-1]].tobytes()).astype(np.int64)
+        pl_data, pl_offs = raw("pos_lens")
+        plens = varint_decode(pl_data[pl_offs[0] : pl_offs[-1]].tobytes()).astype(np.int64)
+        pdata, p_offs = raw("positions")
+
+        # per-posting byte range into the (row-ordered) positions buffer
+        pcum = np.concatenate(([0], np.cumsum(plens)))
+        within = pcum[:-1] - np.repeat(pcum[starts], nd)
+        pstart = np.repeat(p_offs[:-1], nd) + within
+
+        # ---- merge-sort postings by doc_id within each (term,salt) group ----
+        chunk_of = np.repeat(np.arange(nrows), nd)
+        gid_p = gid_chunk[chunk_of]
+        order = np.lexsort((ids, gid_p))
+        ids_s, tfs_s, dls_s = ids[order], tfs[order], dls[order]
+        g_s, ch_s = gid_p[order], chunk_of[order]
+
+        gchg = np.flatnonzero(g_s[1:] != g_s[:-1]) if n_post > 1 else np.array([], dtype=np.int64)
+        gstarts = np.concatenate(([0], gchg + 1))
+        gends = np.concatenate((gstarts[1:], [n_post]))
 
         # ---- block boundary vectors (no per-group python) ----
         glens = gends - gstarts
         nblk = -(-glens // block_size)
         total = int(nblk.sum())
-        gi_rep = np.repeat(np.arange(len(gstarts)), nblk)  # group id per block
+        gi_rep = np.repeat(np.arange(len(gstarts)), nblk)
         first_blk = np.concatenate(([0], np.cumsum(nblk[:-1]))) if len(nblk) else np.array([], dtype=np.int64)
         bidx = np.arange(total, dtype=np.int64) - np.repeat(first_blk, nblk)
         bstarts = gstarts[gi_rep] + bidx * block_size
         bends = np.minimum(bstarts + block_size, gends[gi_rep])
 
-        # ---- one-pass delta-gap: doc ids reset at BLOCK starts, positions
-        # reset at list starts; then ONE segmented varint per column ----
-        ids_u = i64_to_u64_order(doc_ids)
+        # ---- delta-gap doc ids, reset at BLOCK starts; segmented varints ----
+        ids_u = i64_to_u64_order(ids_s)
         id_gaps = ids_u.copy()
-        if n > 1:
+        if n_post > 1:
             id_gaps[1:] = ids_u[1:] - ids_u[:-1]
         id_gaps[bstarts] = ids_u[bstarts]
-
-        gaps = pvals.copy()
-        if len(pvals) > 1:
-            gaps[1:] = pvals[1:] - pvals[:-1]
-        lidx = offsets[:-1]
-        lidx = lidx[lidx < len(pvals)]  # guard: empty lists at the tail
-        gaps[lidx] = pvals[lidx]
-
         ids_b = varint_encode_segmented(id_gaps, bstarts, bends)
-        tfs_b = varint_encode_segmented(tfs.astype(np.uint64), bstarts, bends)
-        dls_b = varint_encode_segmented(doc_lens.astype(np.uint64), bstarts, bends)
-        # positions bounds are ABSOLUTE value indexes into pvals/gaps
-        # (offsets and values come from the same ListArray and are always
-        # mutually consistent, sliced or not)
-        pos_b = (
-            varint_encode_segmented(gaps, offsets[bstarts], offsets[bends])
-            if len(pvals)
-            else [b""] * total
-        )
+        tfs_b = varint_encode_segmented(tfs_s.astype(np.uint64), bstarts, bends)
+        dls_b = varint_encode_segmented(dls_s.astype(np.uint64), bstarts, bends)
 
-        denom = tfs + K1 * (1.0 - B + B * doc_lens / max(avgdl, 1e-9))
-        wand = tfs * (K1 + 1.0) / denom
-        bmax_tf = np.maximum.reduceat(tfs, bstarts) if total else np.array([], dtype=np.int64)
+        # ---- positions: ONE byte-gather into block order, then slices ----
+        lens_s = plens[order]
+        newoffs = np.concatenate(([0], np.cumsum(lens_s)))
+        nbytes = int(newoffs[-1])
+        idxbytes = np.repeat(pstart[order], lens_s) + (
+            np.arange(nbytes, dtype=np.int64) - np.repeat(newoffs[:-1], lens_s)
+        )
+        newbuf = pdata[idxbytes].tobytes()
+        pos_b = [newbuf[newoffs[s_] : newoffs[e_]] for s_, e_ in zip(bstarts, bends)]
+
+        denom = tfs_s + K1 * (1.0 - B + B * dls_s / max(avgdl, 1e-9))
+        wand = tfs_s * (K1 + 1.0) / denom
+        bmax_tf = np.maximum.reduceat(tfs_s, bstarts) if total else np.array([], dtype=np.int64)
         bmax_wand = np.maximum.reduceat(wand, bstarts) if total else np.array([], dtype=np.float64)
-        # block_min_wand backs the DRIVER-SIDE top-k lower bound tau: a
-        # full block guarantees block_size docs whose score >= idf * min
+        # block_min_wand backs the DRIVER-SIDE top-k lower bound tau
         # (see query._pruned_block_filter) — no Spark job needed for tau.
         bmin_wand = np.minimum.reduceat(wand, bstarts) if total else np.array([], dtype=np.float64)
 
         # python strings materialized ONLY at group starts
-        start_terms = tcol.take(pa.array(gstarts)).to_pylist()
+        start_terms = tcol.take(pa.array(ch_s[gstarts])).to_pylist()
         terms_per_block = [start_terms[g] for g in gi_rep]
 
-        return pa.record_batch(
+        yield pa.record_batch(
             [
                 pa.array(terms_per_block, pa.string()),
-                pa.array(salt[bstarts].astype(np.int32) if total else [], pa.int32()),
+                pa.array(salt[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
                 pa.array(bidx.astype(np.int32), pa.int32()),
-                pa.array(doc_ids[bstarts] if total else [], pa.int64()),
-                pa.array(doc_ids[bends - 1] if total else [], pa.int64()),
+                pa.array(ids_s[bstarts] if total else [], pa.int64()),
+                pa.array(ids_s[bends - 1] if total else [], pa.int64()),
                 pa.array((bends - bstarts).astype(np.int32), pa.int32()),
                 pa.array(ids_b, pa.binary()),
                 pa.array(tfs_b, pa.binary()),
@@ -288,7 +463,7 @@ def _make_block_mapper(block_size: int, avgdl: float):
                 pa.array(bmax_tf.astype(np.int32), pa.int32()),
                 pa.array(bmax_wand.astype(np.float64), pa.float64()),
                 pa.array(bmin_wand.astype(np.float64), pa.float64()),
-                pa.array(bucket[bstarts].astype(np.int32) if total else [], pa.int32()),
+                pa.array(bucket[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
             ],
             names=[
                 "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
@@ -296,24 +471,6 @@ def _make_block_mapper(block_size: int, avgdl: float):
                 "block_min_wand", "bucket",
             ],
         )
-
-    def mapper(batches):
-        carry: pa.Table | None = None
-        for rb in batches:
-            tbl = pa.Table.from_batches([rb])
-            if carry is not None and carry.num_rows:
-                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
-            if not tbl.num_rows:
-                continue
-            # hold back the trailing (term, salt) group — it may continue
-            # in the next batch (sorted input => groups are contiguous)
-            change, _, _ = _group_bounds(tbl)
-            cut = int(change[-1]) + 1 if len(change) else 0
-            carry = tbl.slice(cut)
-            if cut:
-                yield emit(tbl.slice(0, cut))
-        if carry is not None and carry.num_rows:
-            yield emit(carry)
 
     return mapper
 
@@ -403,29 +560,32 @@ def build_index(
     # ---- stage: flat postings ----------------------------------------------
     if stage_runs("flat"):
         t0 = time.time()
-        # carry doc_len through the explode so scoring never needs a join
-        # against the (huge) docs table — the alternative big-big join on
-        # doc_id is the shuffle that would dominate at 100 TB. doc_len is
-        # size() of the read-back array: no re-tokenization.
-        toks = docs_text.select("doc_id", F.col("tokens").alias("toks")).select(
-            "doc_id",
-            F.size("toks").alias("doc_len"),
-            F.posexplode("toks").alias("pos", "term"),
-        )
-        flat = (
-            toks.groupBy("term", "doc_id")
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                F.first("doc_len").alias("doc_len"),
+        # NARROW stage (no shuffle): local partial posting chunks per
+        # partition (see _make_flat_mapper). doc_len rides along inside
+        # each chunk so scoring never needs a join against the (huge)
+        # docs table — the alternative big-big join on doc_id is the
+        # shuffle that would dominate at 100 TB. bucket is added
+        # JVM-side after the kernel.
+        #
+        # The docs token table compresses ~10x vs the raw pages, so the
+        # default split size leaves this CPU-bound kernel with barely one
+        # task per core (measured: 22 partitions at 16 cores -> straggler
+        # tail). Scope the split size down for THIS scan only.
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+            docs_in = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
+            flat = (
+                docs_in.mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
+                .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
             )
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        )
-        flat, obs = _observed(flat, "flat")
-        # NOT partitionBy(bucket): every consumer (term_stats, blocks) is a
-        # full scan, and Hive-partitioning here would fan out into
-        # shuffle_partitions x n_buckets tiny files.
-        catalog.write_table(spark, flat, wh.root, "postings_flat")
+            flat, obs = _observed(flat, "flat")
+            # NOT partitionBy(bucket): every consumer (term_stats, blocks)
+            # is a full scan, and Hive-partitioning here would fan out into
+            # shuffle_partitions x n_buckets tiny files.
+            catalog.write_table(spark, flat, wh.root, "postings_flat")
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         finish("flat", t0, [(-1, obs.get["n_rows"], None)])
 
     flat = catalog.read_table(spark, wh.root, "postings_flat")
@@ -433,9 +593,11 @@ def build_index(
     # ---- stage: term_stats + corpus_stats ----------------------------------
     if stage_runs("term_stats"):
         t0 = time.time()
+        # chunk rows carry per-chunk (n_docs, cf): term stats aggregate
+        # ~1000x fewer rows than per-(term, doc) postings would
         ts = flat.groupBy("term").agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("cf"),
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
         )
         ts, obs = _observed(ts, "term_stats")
         catalog.write_table(spark, ts, wh.root, "term_stats")
@@ -451,19 +613,35 @@ def build_index(
             .filter(F.col("df") >= hot_df)
             .select("term", F.lit(True).alias("is_hot"))
         )
+        # chunk-level salting: a hot term's postings arrive pre-split
+        # into <=4*block_size-doc chunks (flat kernel), so spreading its
+        # CHUNKS across n_salts reduce tasks bounds any single task's
+        # share of a stopword posting list — same guarantee as round 1's
+        # per-doc hash salt, at chunk granularity.
         salted = (
             flat.join(F.broadcast(hot_terms), "term", "left")
             .withColumn(
                 "salt",
-                F.when(F.col("is_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")).otherwise(F.lit(0)),
+                # per-chunk entropy: the chunk's encoded doc_ids blob is
+                # unique per chunk, so its hash spreads a hot term's
+                # chunks across salts regardless of input partitioning
+                F.when(
+                    F.col("is_hot"), F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts)).cast("int")
+                ).otherwise(F.lit(0)),
             )
             .drop("is_hot")
         )
-        # co-locate each (term, salt) group, sort by doc_id, then stream
-        # blocks out via mapInPandas (see _make_block_mapper)
-        pre = salted.repartition(F.col("term"), F.col("salt")).sortWithinPartitions(
-            "term", "salt", "doc_id"
+        # co-locate each (term, salt) group; the kernel itself sorts the
+        # partition columnar-side (no JVM sortWithinPartitions — see
+        # _make_block_mapper). The partition count is PINNED: a bare
+        # repartition(cols) is AQE-coalescible down to ~advisory-size
+        # (64MB) partitions, which would cap the codec parallelism at a
+        # handful of tasks regardless of cores.
+        nparts = max(
+            spark.sparkContext.defaultParallelism * 2,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         )
+        pre = salted.repartition(nparts, F.col("term"), F.col("salt"))
         blocks = pre.mapInArrow(_make_block_mapper(block_size, avgdl), BLOCK_SCHEMA)
         blocks, obs = _observed(blocks, "blocks")
         # one output file per bucket dir (queries partition-prune on the

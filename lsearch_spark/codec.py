@@ -60,6 +60,17 @@ def varint_encode_segmented(
     return [ob[byte_off[s] : byte_off[e]] for s, e in zip(seg_starts, seg_ends)]
 
 
+def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode the whole array once; returns (buffer, byte offset per value
+    index, len n+1) so callers can slice arbitrary value ranges out of the
+    buffer without re-encoding (varints are per-value independent)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    out, nbytes = _varint_bytes_into(v)
+    return out.tobytes(), np.concatenate(([0], np.cumsum(nbytes)))
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """varint bytes -> uint64 ndarray."""
     b = np.frombuffer(buf, dtype=np.uint8)
