@@ -83,10 +83,10 @@ def _build_child(cores: int, src: str, wh_dir: str) -> None:
 
     from lsearch_spark.build import build_index
 
-    # size shuffle partitions by DATA, not cores: the postings explode is
-    # ~10x the input bytes, and an undersized partition count spills the
-    # collect_list hash agg (measured 8x stage blowup at 1M docs). AQE
-    # coalesces the excess at low core counts.
+    # size shuffle partitions by DATA, not cores: the chunk merge wants
+    # bounded per-task posting volume at any corpus size; AQE coalesces
+    # the excess at low core counts (the blocks stage pins this count to
+    # keep its codec parallelism).
     input_bytes = sum(
         os.path.getsize(os.path.join(src, f)) for f in os.listdir(src) if f.endswith(".parquet")
     )
@@ -189,11 +189,11 @@ def main() -> None:
     pruned: list[float] = []
     try:
         for q in QUERIES:  # warm-up pass (plans, code-gen, page cache)
-            search(spark, wh_hi, q["query"], k=q["k"]).collect()
+            search(spark, wh_hi, q["query"], k=q["k"], prune=False).collect()
             search(spark, wh_hi, q["query"], k=q["k"], prune=True).collect()
         for q in QUERIES:
             t0 = time.time()
-            search(spark, wh_hi, q["query"], k=q["k"]).collect()
+            search(spark, wh_hi, q["query"], k=q["k"], prune=False).collect()
             q_secs[f"q{q['query_id']}"] = round(time.time() - t0, 4)
         for q in QUERIES:
             t0 = time.time()
@@ -278,7 +278,7 @@ Spark-free numpy memcpy control measures 4.8 GB/s at 1 worker, 10.4 at
 on this pair; the per-stage table above shows the compute-bound extract
 stage scaling at ~0.9 while the IO/transfer-bound stages sit at the
 bandwidth ceiling. The kernel also shows intermittent multi-second
-reclaim/steal storms between JVM runs (60-80%% system time in vmstat),
+reclaim/steal storms between JVM runs (60-80% system time in vmstat),
 hence best-of-{REPS} with settle sleeps; benchmark I/O runs on tmpfs
 (/dev/shm) because /tmp's virtio disk throttles under concurrency.
 

@@ -38,7 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["or", "and"], default="or")
-    s.add_argument("--prune", action="store_true")
+    s.add_argument("--no-prune", dest="prune", action="store_false",
+                   help="disable driver-side block-max WAND (on by default; always exact)")
     s.add_argument("--urls", action="store_true")
     s.add_argument("--stats", action="store_true", help="per-query stats (reference --stats, cli.rs:510-512)")
     s.add_argument("--strats", action="store_true", help="print the plan summary (reference --strats, cli.rs:439-441)")

@@ -80,12 +80,19 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, exact jaccard >= threshold).
 
     rows_per_band = num_hashes/bands; candidates = docs sharing >=1 band
     hash (equi-join on (band, hash) — shuffle on uniform keys, scales);
     then exact n-gram Jaccard verification on candidates only.
+
+    max_bucket caps the self-join's per-bucket size — THE 100 TB guard:
+    a degenerate band hash (boilerplate/empty-ish docs) otherwise makes
+    one bucket quadratic. Capped buckets are dropped before the join
+    (docs that similar share many bands; at web scale set ~1000 and
+    route the dropped buckets to exact dedup instead).
     """
     r = num_hashes // bands
     base = (
@@ -107,6 +114,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(small, ["band", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -164,10 +179,19 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash. Candidates via 4x16-bit band buckets
     (any pair within hamming<=3 of 64 bits shares at least one exact
-    16-bit quarter — pigeonhole), then exact hamming verify."""
+    16-bit quarter — pigeonhole), then exact hamming verify.
+
+    max_bucket caps a quarter-bucket's size before the self-join — same
+    quadratic-blowup guard as minhash_lsh_pairs.max_bucket."""
     sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig")).cache()
     quarters = sigs.select(
         "id",
@@ -176,6 +200,14 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             F.array(*[F.shiftrightunsigned(F.col("sig"), 16 * q).bitwiseAND(F.lit(0xFFFF)) for q in range(4)])
         ).alias("q", "qval"),
     )
+    if max_bucket is not None:
+        small = (
+            quarters.groupBy("q", "qval")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("q", "qval")
+        )
+        quarters = quarters.join(small, ["q", "qval"], "left_semi")
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qval") == F.col("b.qval")) & (F.col("a.id") < F.col("b.id")))

@@ -135,6 +135,22 @@ def test_simhash_finds_dups(spark, pages):
     assert all(r["hamming"] <= 2 for r in pairs)
 
 
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """The 100 TB guard: a clone swarm (every band bucket holds all
+    clones) must be droppable via max_bucket while genuinely small-bucket
+    near-dup pairs survive."""
+    rows = [(i, "identical boilerplate page text repeated everywhere") for i in range(6)]
+    rows += [(100, "a unique document about quantum flux capacitors and physics"),
+             (101, "a unique document about quantum flux capacitors and biology")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, num_hashes=16, bands=8, n=2, threshold=0.4)
+    assert uncapped.filter("a_id < 6").count() > 0  # clones pair up
+    capped = dedup.minhash_lsh_pairs(df, num_hashes=16, bands=8, n=2, threshold=0.4, max_bucket=3)
+    got = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got), got  # clone buckets (size 6) dropped
+    assert (100, 101) in got  # the small-bucket near-dup pair survives
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
