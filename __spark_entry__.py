@@ -210,6 +210,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_less_top10"] = lambda s, d: _bm25(s, d, "data ~query")
 
+    def _bm25_batch(s, d):
+        from lsearch_spark.query import batch_search
+
+        wh = _documents_wh(s, d)
+        return batch_search(s, wh, {"q1": "data query", "q2": "filter merge"}, k=10).select(
+            "query_id", "doc_id", F.round("score", 5).alias("score")
+        )
+
+    q["bm25_batch_top10"] = _bm25_batch
+
     def _phrase_docs(s, d):
         from lsearch_spark.query import phrase_search
 
@@ -343,6 +353,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_sql(["data", "query"]),
         "bm25_pruned_top10": _bm25_sql(["data", "query"]),
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
+        "bm25_batch_top10": (
+            f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(['data', 'query'])}) "
+            f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_sql(['filter', 'merge'])})"
+        ),
         "bm25_negation_top10": f"""
 WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -399,6 +399,72 @@ def search(
     return topk
 
 
+def batch_search(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    queries: dict[str, str] | list[str],
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """Amortized multi-query BM25: ONE Spark job scores EVERY query.
+
+    Interactive `search` latency is dominated by the per-job scheduler
+    floor (~0.3s locally); evaluation pipelines that run thousands of
+    queries per pass (the realistic 100 TB shape) should batch instead:
+    a single partition-pruned scan decodes the union of all query terms
+    once, a tiny broadcast (query_id, term) map fans scores out per
+    query, and per-query top-k comes from one window. Positive terms
+    only ('-'/'~' operators need per-query anti-joins — use search()).
+
+    Returns DataFrame(query_id, doc_id, score): per-query top-k, ordered
+    (query_id ASC, score DESC, doc_id ASC).
+    """
+    from pyspark.sql import Window
+
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    qmap: dict[str, list[str]] = {}
+    items = queries.items() if isinstance(queries, dict) else ((f"q{i}", q) for i, q in enumerate(queries))
+    for qid, q in items:
+        pos, neg, less = parse_query(q)
+        if neg or less:
+            raise ValueError(f"batch_search supports positive terms only; query {qid!r} has -/~ operators")
+        qmap[str(qid)] = pos
+    empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
+    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    if not all_terms:
+        return empty
+    stats = st["stats"]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    dfs = _term_dfs(spark, st, all_terms)
+    live = sorted(t for t in all_terms if t in dfs)
+    if not live:
+        return empty
+    idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
+
+    pairs = [(qid, t, len([x for x in ts if x in dfs])) for qid, ts in qmap.items() for t in ts if t in dfs]
+    if not pairs:
+        return empty
+    qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
+
+    scored = _score_decoded(_decode_blocks(_postings_for(spark, wh, st, live)), idf_map, avgdl)
+    joined = scored.join(F.broadcast(qterms), "term")
+    agg = joined.groupBy("query_id", "doc_id").agg(
+        F.sum("tscore").alias("score"),
+        F.count("*").alias("n_hit"),
+        F.max("n_terms").alias("n_terms"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_hit") == F.col("n_terms"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 # ----------------------------------------------------- query instrumentation
 def _write_query_metrics(wh: Warehouse, info: dict) -> None:
     """Append one query_metrics row (driver-side pyarrow through the

@@ -161,6 +161,25 @@ def test_pruned_stopword_decodes_fewer_blocks(spark, wh, pyidx):
     assert {"blocks_decoded", "blocks_total", "wall_ms", "postings_decoded"} <= set(qm.columns)
 
 
+def test_batch_search_matches_single(spark, wh, pyidx):
+    """batch_search (one job, N queries) must reproduce per-query search
+    exactly, per query."""
+    from lsearch_spark.query import batch_search
+
+    qs = {"a": "biology chemistry", "b": "the", "c": "quantum neural"}
+    got = batch_search(spark, wh, qs, k=5).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = bm25_topk(pyidx, q, k=5)
+        assert_rank_identical(
+            [{"doc_id": d, "score": s} for d, s in by_q.get(qid, [])], want
+        )
+    with pytest.raises(ValueError):
+        batch_search(spark, wh, {"x": "biology -chemistry"})
+
+
 def test_tiebreak_deterministic(spark, wh):
     rows = search(spark, wh, "tiebreak", k=10).collect()
     assert len(rows) == 2
