@@ -33,7 +33,7 @@ from lsearch_spark.session import get_spark
 SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 600_000}
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 SETTLE_S = int(os.environ.get("LSEARCH_BENCH_SETTLE", "10"))
-REPS = int(os.environ.get("LSEARCH_BENCH_REPS", "2"))  # child builds 2x itself
+REPS = int(os.environ.get("LSEARCH_BENCH_REPS", "3"))
 
 
 def _gen_chunk(args):
@@ -75,8 +75,8 @@ def corpus_parquet(n: int) -> str:
 
 
 def _build_child(cores: int, src: str, wh_dir: str) -> None:
-    """Child-process body: clean JVM; builds TWICE (cold then warm) and
-    reports the best — steady-state throughput, net of one-time JIT/
+    """Child-process body: clean JVM; a small warm-up build first, then
+    ONE timed full build — steady-state throughput, net of one-time JIT/
     codegen/python-worker warm-up that a long-running cluster job never
     pays per batch."""
     from pyspark.sql import functions as F
@@ -143,21 +143,6 @@ def _build_once(cores: int, src: str, wh_dir: str) -> tuple[float, dict]:
     return sec, walls
 
 
-def build_at(cores: int, src: str, n_docs: int, wh_dir: str, reps: int = REPS) -> tuple[float, float, dict]:
-    """best-of-N build time (the sandbox kernel shows multi-second
-    reclaim/steal storms between runs; min is the low-noise estimator).
-    A settle sleep lets kernel memory reclaim from the previous JVM
-    finish before the next measurement."""
-    best, best_walls = float("inf"), {}
-    for i in range(reps):
-        if SETTLE_S:
-            time.sleep(SETTLE_S)
-        sec, walls = _build_once(cores, src, wh_dir)
-        if sec < best:
-            best, best_walls = sec, walls
-    return best, n_docs / best, best_walls
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(os.path.normpath(sf_dir))
@@ -174,12 +159,21 @@ def main() -> None:
     # evidence; 8->32 is structurally capped near 0.65 by the hardware.
     pair = (max(1, hi // 8), max(2, hi // 2))  # (4, 16) at hi=32
     lo, hi = pair
-    results: dict[int, tuple[float, float, dict]] = {}
-    for cores in pair:
-        wh_dir = f"{SHM}/lsearch_bench_wh_{n_docs}_{cores}"
-        results[cores] = build_at(cores, src, n_docs, wh_dir, reps=REPS)
-
-    (sec_lo, thru_lo, walls_lo), (sec_hi, thru_hi, walls_hi) = results[lo], results[hi]
+    # INTERLEAVED best-of-N: the sandbox kernel's reclaim/steal storms
+    # last minutes, so running all reps of one core count back-to-back
+    # biases one side of the ratio; alternating decorrelates the noise
+    # (identical 4-core builds measured 36..71s across a day).
+    best: dict[int, tuple[float, dict]] = {c: (float("inf"), {}) for c in pair}
+    for rep in range(REPS):
+        for cores in pair:
+            if SETTLE_S:
+                time.sleep(SETTLE_S)
+            wh_dir = f"{SHM}/lsearch_bench_wh_{n_docs}_{cores}"
+            sec, walls = _build_once(cores, src, wh_dir)
+            if sec < best[cores][0]:
+                best[cores] = (sec, walls)
+    (sec_lo, walls_lo), (sec_hi, walls_hi) = best[lo], best[hi]
+    thru_lo, thru_hi = n_docs / sec_lo, n_docs / sec_hi
     efficiency = (thru_hi / thru_lo) / (hi / lo)
     wh_hi = f"{SHM}/lsearch_bench_wh_{n_docs}_{hi}"
 
@@ -281,6 +275,16 @@ bandwidth ceiling. The kernel also shows intermittent multi-second
 reclaim/steal storms between JVM runs (60-80% system time in vmstat),
 hence best-of-{REPS} with settle sleeps; benchmark I/O runs on tmpfs
 (/dev/shm) because /tmp's virtio disk throttles under concurrency.
+
+Run-to-run variance: identical builds measured across one day spanned
+36-71s at local[4] and 14-23s at local[16] (kernel reclaim/steal storms
+plus tmpfs burst throttling that worsens after hours of sustained
+benchmarking and recovers after idle). The interleaved best-of-{REPS}
+protocol bounds but cannot eliminate this, so a single run may report
+efficiency anywhere in ~0.5-0.7; best observed same-session pair was
+15.7s/44.0s = 0.70. The per-stage table and the bandwidth control are
+the stable evidence: stages scale 2.5-3.5x from 4->16 cores against a
+0.71 memcpy ceiling (= 2.84x).
 
 Reference baseline: none published (BASELINE.md) — targets from
 BASELINE.json: report absolute docs/sec; scaling efficiency >= 0.8.

@@ -58,6 +58,29 @@ def test_scalar_ops_match_oracle(spark, pages):
         assert r["more_bi"] == oracle.score_more(oracle.ascii_lower(text), "biology")
 
 
+def test_insensitive_targets_are_ascii_only(spark):
+    """ADVICE r1: targets lowercase ASCII-only (reference cli.rs:381-397
+    to_ascii_lowercase): 'É' must NOT fold to 'é' on either side, and an
+    empty More target scores 1.0 like the oracle (oracle.py:45-47)."""
+    df = spark.createDataFrame([(1, "CaFÉ x"), (2, "cafe x")], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            has(F.col("text"), "É", insensitive=True).alias("has_eacute"),
+            has(F.col("text"), "CAFÉ", insensitive=True).alias("has_cafe_upper"),
+            is_(F.col("text"), "CaFÉ X", insensitive=True).alias("is_full"),
+            more_count(F.col("text"), "", insensitive=True).alias("more_empty"),
+        ).collect()
+    }
+    # 'É' stays 'É' (not folded): present in doc 1, absent in doc 2
+    assert rows[1]["has_eacute"] and not rows[2]["has_eacute"]
+    # 'CAFÉ' -> ascii-lower 'cafÉ' matches content 'cafÉ' (A-Z folded, É kept)
+    assert rows[1]["has_cafe_upper"] and not rows[2]["has_cafe_upper"]
+    assert rows[1]["is_full"]  # 'CaFÉ X' -> 'cafÉ x' == ascii_lower(content)
+    assert rows[1]["more_empty"] == 1.0 == oracle.score_more("cafÉ x", "")
+
+
 def test_cascade_matches_oracle(spark, pages):
     runs = [
         ContentRun("content-ext", [("is", "html")]),
