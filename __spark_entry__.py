@@ -220,6 +220,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_batch_top10"] = _bm25_batch
 
+    def _bm25_appended(s, d):
+        # incremental segment append: index the even-id half, append the
+        # odd-id half; scores must equal BM25 over the FULL table (the
+        # oracle is the plain full-corpus SQL)
+        from lsearch_spark.build import Warehouse, append_index, build_index
+
+        key = os.path.basename(os.path.normpath(d)) or "root"
+        wh_dir = os.path.join(tempfile.gettempdir(), f"lsearch_whapp_{key}")
+        pages = (
+            _docs(s, d)
+            .withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
+            .withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            .select("doc_id", "url", "warc_ts", "text", "lang")
+        )
+        build_index(
+            s, pages.filter(F.col("doc_id") % 2 == 0), wh_dir,
+            n_buckets=4, block_size=64, hot_df=256, n_salts=4,
+            run_id="entryA", input_id=d + "|evenhalf", resume=True, from_html=False,
+        )
+        wh = Warehouse(wh_dir)
+        if int((wh.read_manifest("config") or {}).get("n_appends", 0)) < 1:
+            append_index(s, pages.filter(F.col("doc_id") % 2 == 1), wh, from_html=False)
+        out = search(s, wh_dir, "data query", k=10)
+        return out.select("doc_id", F.round("score", 5).alias("score"))
+
+    q["bm25_appended_top10"] = _bm25_appended
+
     def _phrase_docs(s, d):
         from lsearch_spark.query import phrase_search
 
@@ -353,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_sql(["data", "query"]),
         "bm25_pruned_top10": _bm25_sql(["data", "query"]),
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
+        "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_batch_top10": (
             f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(['data', 'query'])}) "
             f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_sql(['filter', 'merge'])})"

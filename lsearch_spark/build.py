@@ -505,6 +505,10 @@ def build_index(
     # diverge from the stored layout). The fingerprint folds the config in,
     # forcing a rebuild on any mismatch.
     fingerprint = f"{input_id}|v{INDEX_FORMAT}|cfg:b{n_buckets}.bs{block_size}.h{hot_df}.s{n_salts}"
+    prev_cfg = wh.read_manifest("config") or {}
+    for key in ("wand_avgdl", "n_appends"):  # survive resume no-ops; reset
+        if key in prev_cfg:  # happens in the blocks stage on real reruns
+            cfg[key] = prev_cfg[key]
     wh.write_manifest("config", cfg)
 
     def stage_runs(stage: str) -> bool:
@@ -608,6 +612,13 @@ def build_index(
         t0 = time.time()
         stats = wh.corpus_stats(spark)
         avgdl = float(stats["avgdl"])
+        # pin the WAND basis: stored block_max/min_wand are computed with
+        # THIS avgdl; later appends keep the same basis and the query
+        # planner corrects bounds for avgdl drift (query.py ratio math).
+        c = wh.read_manifest("config") or {}
+        c["wand_avgdl"] = avgdl
+        c["n_appends"] = 0  # a (re)build resets the append lineage
+        wh.write_manifest("config", c)
         hot_terms = (
             catalog.read_table(spark, wh.root, "term_stats")
             .filter(F.col("df") >= hot_df)
@@ -716,6 +727,147 @@ def build_index(
         finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
 
     from .query import invalidate_cache  # lazy: query imports Warehouse from here
+
+    invalidate_cache(wh.root)
+    return wh
+
+
+def append_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str | Warehouse,
+    *,
+    run_id: str = "append",
+    from_html: bool = True,
+) -> Warehouse:
+    """Incremental SEGMENT append (Lucene-style): index new pages into an
+    existing warehouse without touching existing posting blocks.
+
+    - New blocks land in a fresh salt range (salt = n_appends * n_salts
+      + sub-salt), so (term, salt, block_id) stays globally unique and
+      every query path — BM25, WAND pruning, negation, phrase — works
+      over the union unchanged (salts merely partition posting lists).
+    - term_stats / corpus_stats merge additively; term_block_stats is
+      recomputed from block METADATA only (column-pruned scan).
+    - Stored WAND stats keep the ORIGINAL build's avgdl basis
+      (config.wand_avgdl); scoring always uses the current corpus avgdl,
+      and the query planner corrects pruning bounds for the drift
+      (query._pruned_block_filter ratio math), so post-append results
+      are IDENTICAL to a fresh build over the union corpus.
+
+    Appends are one-shot (no per-stage resume); a later full
+    build_index(resume=False) rebuild resets the append lineage.
+    """
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    cfg = wh.read_manifest("config")
+    blocks_m = wh.read_manifest("blocks")
+    if not cfg or not blocks_m or not blocks_m.get("ok") or "wand_avgdl" not in cfg:
+        raise ValueError(f"append_index needs a completed build under {wh.root}")
+    n_buckets, block_size = int(cfg["n_buckets"]), int(cfg["block_size"])
+    hot_df, n_salts = int(cfg["hot_df"]), int(cfg["n_salts"])
+    wand_avgdl = float(cfg["wand_avgdl"])
+    append_no = int(cfg.get("n_appends", 0)) + 1
+    salt_base = append_no * n_salts
+    t0 = time.time()
+
+    # ---- segment scratch: extract+tokenize the new pages exactly once ----
+    seg = wh.path(os.path.join("_segments", f"seg{append_no}"))
+    has_doc_id = "doc_id" in pages.columns
+    base = pages.withColumn(
+        "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
+    )
+    target = spark.sparkContext.defaultParallelism * 2
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    text = extracted_text_col() if from_html else F.col("text")
+    dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+    dt, obs = _observed(dt, f"append{append_no}", F.sum(F.size("tokens")).alias("total_tokens"))
+    dt.write.mode("overwrite").parquet(seg)
+    n_new, tok_new = int(obs.get["n_rows"]), int(obs.get["total_tokens"] or 0)
+
+    stats_old = wh.corpus_stats(spark)
+    seg_docs = spark.read.parquet(seg)
+    catalog.append_table(spark, seg_docs, wh.root, "docs")
+    _write_corpus_stats(
+        wh, int(stats_old["n_docs"]) + n_new, int(stats_old["total_tokens"]) + tok_new
+    )
+
+    # ---- local partial chunks for the segment ----
+    seg_chunks_path = seg + "_chunks"
+    chunks = (
+        seg_docs.select("doc_id", "tokens")
+        .mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    chunks.write.mode("overwrite").parquet(seg_chunks_path)
+    seg_chunks = spark.read.parquet(seg_chunks_path)
+    catalog.append_table(spark, seg_chunks, wh.root, "postings_flat")
+
+    # ---- merged term_stats (global df/cf; cheap: chunk-level rows) ----
+    flat_all = catalog.read_table(spark, wh.root, "postings_flat")
+    ts = flat_all.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
+    )
+    catalog.write_table(spark, ts, wh.root, "term_stats")
+
+    # ---- new blocks in the fresh salt range (original WAND basis) ----
+    hot_terms = (
+        catalog.read_table(spark, wh.root, "term_stats")
+        .filter(F.col("df") >= hot_df)
+        .select("term", F.lit(True).alias("is_hot"))
+    )
+    salted = (
+        seg_chunks.join(F.broadcast(hot_terms), "term", "left")
+        .withColumn(
+            "salt",
+            F.lit(salt_base)
+            + F.when(F.col("is_hot"), F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts)).cast("int")).otherwise(F.lit(0)),
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+        .drop("is_hot")
+    )
+    nparts = max(
+        spark.sparkContext.defaultParallelism * 2,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    new_blocks = (
+        salted.repartition(nparts, F.col("term"), F.col("salt"))
+        .mapInArrow(_make_block_mapper(block_size, wand_avgdl), BLOCK_SCHEMA)
+        .repartition(n_buckets, "bucket")
+    )
+    catalog.append_table(spark, new_blocks, wh.root, "postings", partition_by=["bucket"])
+
+    # ---- refresh the per-term block summary over ALL blocks ----
+    K_TOP = 32
+    pb = catalog.read_table(spark, wh.root, "postings")
+    partial = pb.groupBy("term", "salt").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("n_docs").cast("long").alias("np"),
+        F.slice(F.sort_array(F.collect_list("block_max_wand"), asc=False), 1, K_TOP).alias("tw"),
+    )
+    bs = (
+        partial.groupBy("term")
+        .agg(
+            F.sum("nb").alias("n_blocks"),
+            F.sum("np").alias("n_postings"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("tw")), asc=False), 1, K_TOP).alias("top_wands"),
+        )
+        .withColumn("ub_wand", F.col("top_wands")[0])
+    )
+    catalog.write_table(spark, bs, wh.root, "term_block_stats")
+
+    cfg = wh.read_manifest("config")
+    cfg["n_appends"] = append_no
+    wh.write_manifest("config", cfg)
+    wall = (time.time() - t0) * 1000
+    _write_metrics(spark, wh, run_id, f"append{append_no}", [(-1, n_new, None)], wall, run_id)
+    wh.write_manifest(
+        f"append{append_no}",
+        {"run_id": run_id, "ok": True, "n_docs": n_new, "wall_ms": wall, "salt_base": salt_base},
+    )
+
+    from .query import invalidate_cache
 
     invalidate_cache(wh.root)
     return wh

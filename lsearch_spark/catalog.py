@@ -72,6 +72,28 @@ def write_table(
     return path
 
 
+def append_table(
+    spark: SparkSession,
+    df: DataFrame,
+    wh_root: str,
+    name: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Append rows to an existing table (Iceberg append snapshot, or
+    parquet mode=append in the fallback)."""
+    cat = iceberg_catalog(spark)
+    if cat is not None:
+        ident = _ident(cat, wh_root, name)
+        df.writeTo(ident).append()
+        return ident
+    path = os.path.join(wh_root, name)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
 def read_table(spark: SparkSession, wh_root: str, name: str) -> DataFrame:
     cat = iceberg_catalog(spark)
     if cat is not None:

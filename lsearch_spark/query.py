@@ -265,7 +265,9 @@ def _agg_topk(scored: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | 
     return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def _pruned_block_filter(live: list[str], idf_map: dict[str, float], bstats: dict[str, dict], k: int):
+def _pruned_block_filter(
+    live: list[str], idf_map: dict[str, float], bstats: dict[str, dict], k: int, ratio: float = 1.0
+):
     """Driver-side WAND plan: (block predicate Column | None, tau).
 
     tau = max over terms of idf_t * top_wands_t[k-1]: each of a term's k
@@ -274,24 +276,33 @@ def _pruned_block_filter(live: list[str], idf_map: dict[str, float], bstats: dic
     None means "no pruning possible" (missing stats, or k beyond the
     stored top_wands) — the caller then runs the plain exhaustive scan.
     tau is shaved by a relative epsilon so driver-side float rounding can
-    never exceed the executor-side true k-th score."""
+    never exceed the executor-side true k-th score.
+
+    ratio = current avgdl / stored WAND-basis avgdl (config.wand_avgdl):
+    appends drift avgdl while stored block stats keep the build basis.
+    wand(A_q)/wand(A_w) is bounded by [min(1, A_q/A_w), max(1, A_q/A_w)]
+    (the dl/avgdl term is the only avgdl-dependence and is monotone), so
+    scaling upper bounds by max(1, ratio) and tau by min(1, ratio) keeps
+    pruning EXACT under any drift — just slightly less aggressive."""
     if not all(t in bstats for t in live):
         # without EVERY term's upper bound the pruning inequality is not
         # sound (sum_others would be underestimated) -> no pruning
         return None, float("-inf")
-    ub = {t: idf_map[t] * bstats[t]["ub_wand"] for t in live}
+    ub_corr, tau_corr = max(1.0, ratio), min(1.0, ratio)
+    ub = {t: idf_map[t] * bstats[t]["ub_wand"] * ub_corr for t in live}
     sum_ub = sum(ub.values())
     tau = float("-inf")
     for t in live:
         tw = bstats[t]["top_wands"]
         if len(tw) >= k:
-            tau = max(tau, idf_map[t] * tw[k - 1])
+            tau = max(tau, idf_map[t] * tw[k - 1] * tau_corr)
     if tau == float("-inf"):
         return None, tau
     tau -= abs(tau) * 1e-9 + 1e-12  # float-safety margin (still a lower bound)
     conds = []
     for t in live:
-        theta = (tau - (sum_ub - ub[t])) / idf_map[t]
+        # block survives iff idf_t * bmax_stored * ub_corr + UB_others >= tau
+        theta = (tau - (sum_ub - ub[t])) / (idf_map[t] * ub_corr)
         c = F.col("term") == t
         if theta > 0:
             # comparison against a plain column -> pushed to the parquet
@@ -352,7 +363,8 @@ def search(
         # only to the plain disjunctive case — everything else keeps the
         # exhaustive (still single-job) plan.
         bstats = _term_block_stats(spark, st, wh, live)
-        flt, tau = _pruned_block_filter(live, idf_map, bstats, k)
+        ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
+        flt, tau = _pruned_block_filter(live, idf_map, bstats, k, ratio)
         if flt is not None:
             buckets = sorted(set(_term_buckets(spark, st, live).values()))
             blocks = st["postings_rel"].filter(F.col("bucket").isin(buckets) & flt)
@@ -567,7 +579,11 @@ def plan_summary(
     if prune:
         live = [t for t in pos if t in dfs]
         idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
-        flt, tau = _pruned_block_filter(live, idf_map, bstats, k) if live else (None, float("-inf"))
+        avgdl_q = float(st["stats"]["avgdl"])
+        ratio = avgdl_q / max(float(st["cfg"].get("wand_avgdl") or avgdl_q), 1e-9)
+        flt, tau = (
+            _pruned_block_filter(live, idf_map, bstats, k, ratio) if live else (None, float("-inf"))
+        )
         lines.append(
             f"  WAND: tau={tau:.4f} (driver-side)" if flt is not None else "  WAND: no pruning applicable"
         )

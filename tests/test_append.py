@@ -1,0 +1,99 @@
+"""Incremental segment append: results after append_index must be
+IDENTICAL to a fresh build over the union corpus (df/avgdl are global),
+block keys must stay unique, and WAND pruning must stay exact under the
+avgdl drift the append introduces."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsearch_spark.build import Warehouse, append_index, build_index
+from lsearch_spark.corpus import QUERIES, make_pages, pages_df
+from lsearch_spark.oracle import bm25_topk, build_index as py_build, phrase_topk
+from lsearch_spark.query import phrase_search, search
+
+import math
+
+
+def assert_rank_identical(got_rows, want, tol=1e-9):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert len(got) == len(want), (got, want)
+    want_score = dict(want)
+    for d, s in got:
+        assert d in want_score, f"unexpected doc {d}"
+        assert math.isclose(s, want_score[d], rel_tol=tol, abs_tol=tol), (d, s, want_score[d])
+    rerank = sorted((d for d, _ in got), key=lambda d: (-want_score[d], d))
+    assert rerank == [d for d, _ in want]
+
+
+N_A, N_B = 150, 80
+SHIFT = 1_000_000
+
+
+def _pages_b(spark):
+    pdf = make_pages(N_B, seed=9)
+    pdf["doc_id"] = pdf["doc_id"] + SHIFT
+    # longer docs on purpose: the append must shift avgdl so the
+    # WAND-basis drift correction is actually exercised
+    pdf["text"] = (pdf["text"] + " ") * 3 + "biology quantum flux"
+    pdf["html"] = None
+    schema = "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string"
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+@pytest.fixture(scope="module")
+def awh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("appendwh"))
+    wh = build_index(
+        spark, pages_df(spark, N_A), root,
+        n_buckets=4, block_size=32, hot_df=64, n_salts=4, input_id="a150",
+    )
+    return append_index(spark, _pages_b(spark), wh, from_html=False)
+
+
+@pytest.fixture(scope="module")
+def union_pyidx():
+    a = make_pages(N_A)
+    b = make_pages(N_B, seed=9)
+    docs = list(zip(a["doc_id"], a["text"]))
+    docs += [
+        (int(d) + SHIFT, (t + " ") * 3 + "biology quantum flux")
+        for d, t in zip(b["doc_id"], b["text"])
+    ]
+    return py_build(docs)
+
+
+@pytest.mark.parametrize("q", ["the", "biology chemistry", "quantum neural spark", "physics -the", "spark spark"])
+def test_append_matches_fresh_oracle(spark, awh, union_pyidx, q):
+    want = bm25_topk(union_pyidx, q, k=10)
+    got = search(spark, awh, q, k=10).collect()  # default prune=True
+    assert_rank_identical(got, want)
+    got_ex = search(spark, awh, q, k=10, prune=False).collect()
+    assert_rank_identical(got_ex, want)
+
+
+def test_append_block_keys_unique(spark, awh):
+    dup = (
+        spark.read.parquet(awh.path("postings"))
+        .groupBy("term", "salt", "block_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_append_phrase_and_stats(spark, awh, union_pyidx):
+    want = phrase_topk(union_pyidx, "quantum flux", k=10)
+    got = phrase_search(spark, awh, "quantum flux", k=10).collect()
+    assert_rank_identical(got, [(d, s) for d, s in want])
+    stats = Warehouse(awh.root).corpus_stats(spark)
+    assert stats["n_docs"] == union_pyidx.n_docs
+    assert abs(stats["avgdl"] - union_pyidx.avgdl) < 1e-9
+    cfg = awh.read_manifest("config")
+    assert cfg["n_appends"] == 1 and cfg["wand_avgdl"] != pytest.approx(stats["avgdl"])
+
+
+def test_second_append_and_refusal(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    with pytest.raises(ValueError):
+        append_index(spark, pages_df(spark, 10), root, from_html=False)
