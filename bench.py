@@ -193,6 +193,17 @@ def main() -> None:
             t0 = time.time()
             search(spark, wh_hi, q["query"], k=q["k"], prune=True).collect()
             pruned.append(time.time() - t0)
+        # pruning-effectiveness evidence (blocks decoded vs total) on the
+        # stopword-heavy queries WAND exists for
+        from lsearch_spark.query import search_with_stats
+
+        prune_stats = {}
+        for label, q in [("the", "the"), ("of_and", "of and")]:
+            _, info = search_with_stats(spark, wh_hi, q, k=10, prune=True)
+            prune_stats[label] = {
+                "blocks_decoded": info["blocks_decoded"],
+                "blocks_total": info["blocks_total"],
+            }
     finally:
         spark.stop()
 
@@ -222,6 +233,7 @@ def main() -> None:
         "query_p95_sec": round(p95, 4),
         "query_p50_sec_pruned": round(p50_pruned, 4),
         "query_p95_sec_pruned": round(p95_pruned, 4),
+        "pruning": prune_stats,
         "stage_walls_lo": walls_lo,
         "stage_walls_hi": walls_hi,
     }
@@ -246,6 +258,8 @@ shuffle.partitions = 2x cores.
 | BM25 top-10 p95 | {p95 * 1000:.0f} ms | exhaustive, warm |
 | BM25 top-10 p50 | {p50_pruned * 1000:.0f} ms | block-max pruned (driver-side WAND), warm |
 | BM25 top-10 p95 | {p95_pruned * 1000:.0f} ms | block-max pruned (driver-side WAND), warm |
+| WAND blocks decoded, query "the" | {prune_stats['the']['blocks_decoded']} of {prune_stats['the']['blocks_total']} | exact top-10 |
+| WAND blocks decoded, query "of and" | {prune_stats['of_and']['blocks_decoded']} of {prune_stats['of_and']['blocks_total']} | exact top-10 |
 
 Per-stage build walls (seconds, best run):
 
