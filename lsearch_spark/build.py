@@ -788,9 +788,6 @@ def append_index(
     stats_old = wh.corpus_stats(spark)
     seg_docs = spark.read.parquet(seg)
     catalog.append_table(spark, seg_docs, wh.root, "docs")
-    _write_corpus_stats(
-        wh, int(stats_old["n_docs"]) + n_new, int(stats_old["total_tokens"]) + tok_new
-    )
 
     # ---- local partial chunks for the segment ----
     seg_chunks_path = seg + "_chunks"
@@ -857,6 +854,11 @@ def append_index(
     )
     catalog.write_table(spark, bs, wh.root, "term_block_stats")
 
+    # corpus stats flip LAST so a crashed append leaves queries scoring
+    # with stats consistent with the blocks that actually exist
+    _write_corpus_stats(
+        wh, int(stats_old["n_docs"]) + n_new, int(stats_old["total_tokens"]) + tok_new
+    )
     cfg = wh.read_manifest("config")
     cfg["n_appends"] = append_no
     wh.write_manifest("config", cfg)
