@@ -261,6 +261,14 @@ shuffle.partitions = 2x cores.
 | WAND blocks decoded, query "the" | {prune_stats['the']['blocks_decoded']} of {prune_stats['the']['blocks_total']} | exact top-10 |
 | WAND blocks decoded, query "of and" | {prune_stats['of_and']['blocks_decoded']} of {prune_stats['of_and']['blocks_total']} | exact top-10 |
 
+
+WAND note: single-strong-term queries prune to ~k blocks (exactness
+proof in query.py). Disjunctive multi-stopword queries ("of and") keep
+every block BY DESIGN: any one term's best doc alone may reach the
+top-k, so no sound per-term threshold exists without doc-level
+iteration (MaxScore-style essential/non-essential splitting is the
+known next step; it needs a candidate join, i.e. a second job).
+
 Per-stage build walls (seconds, best run):
 
 | stage | local[{lo}] | local[{hi}] | speedup |
