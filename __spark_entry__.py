@@ -4,9 +4,11 @@ queries() covers SURVEY.md §2 operator inventory over the driver's
 testdata tables; every SQL-expressible operator has a DuckDB oracle in
 oracle_sql() (same column names, floats rounded identically on both
 sides). BM25 queries run the real engine (index build + compressed-
-block search) and are checked against a full BM25 reimplementation in
-ANSI SQL. Non-SQL-expressible ops (MinHash/SimHash/LSH approximate
-paths) are rows-only by design.
+block search + driver-side WAND; also batched and incremental-append
+variants) and are checked against a full BM25 reimplementation in ANSI
+SQL — 31 oracle-checked entries. The 5 rows-only entries are
+approximate / Spark-hash-specific / stubbed-codec by design
+(MinHash/SimHash/LSH top-k, multimodal fakes).
 """
 
 from __future__ import annotations
