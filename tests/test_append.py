@@ -97,3 +97,44 @@ def test_second_append_and_refusal(spark, tmp_path):
     root = str(tmp_path / "wh")
     with pytest.raises(ValueError):
         append_index(spark, pages_df(spark, 10), root, from_html=False)
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        ["a"],  # one doc, one token
+        ["b b b b b"],  # one doc, one repeated term
+        ["x " * 5000],  # giant single-term doc (many sub-chunks)
+        ["中文 émile 中文", "émile"],  # non-ASCII-only tokens
+        ["q w e", "", "q", "w w"],  # empty doc mixed in
+    ],
+    ids=["one-token", "one-term", "giant", "unicode", "mixed-empty"],
+)
+def test_kernel_edge_corpora_reconstruct(spark, tmp_path, texts):
+    """The chunk + merge kernels must reproduce the pure-python index
+    bit-for-bit on pathological corpora (not just the synthetic one)."""
+    import numpy as np
+
+    from lsearch_spark import codec
+
+    rows = [(i + 1, f"u{i}", None, None, t, "en") for i, t in enumerate(texts)]
+    schema = "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.createDataFrame(rows, schema)
+    wh = build_index(
+        spark, pages, str(tmp_path / "wh"),
+        n_buckets=2, block_size=4, hot_df=3, n_salts=2,
+        input_id="edge", from_html=False,
+    )
+    pyidx = py_build([(i + 1, t) for i, t in enumerate(texts)])
+    got: dict[str, dict[int, int]] = {}
+    got_pos: dict[str, dict[int, list[int]]] = {}
+    for r in spark.read.parquet(wh.path("postings")).collect():
+        ids = codec.decode_ids_signed(bytes(r["doc_ids"]))
+        tfs = codec.varint_decode(bytes(r["tfs"]))
+        poss = codec.decode_positions(bytes(r["positions"]), tfs)
+        assert np.all(np.diff(ids) > 0) if len(ids) > 1 else True
+        for d, tf, pos in zip(ids, tfs, poss):
+            got.setdefault(r["term"], {})[int(d)] = int(tf)
+            got_pos.setdefault(r["term"], {})[int(d)] = [int(x) for x in pos]
+    assert got == pyidx.postings
+    assert got_pos == pyidx.positions
