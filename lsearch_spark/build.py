@@ -173,6 +173,11 @@ def read_docs(spark: SparkSession, wh: Warehouse) -> DataFrame:
 
 STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats"]
 
+# per-term summary depth: top-K_TOP block maxima stored in term_block_stats
+# (bounds k for driver-side WAND pruning). Folded into the stage
+# fingerprint: changing it changes produced bytes.
+K_TOP = 32
+
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
 # served with a stale schema
@@ -504,7 +509,13 @@ def build_index(
     # built under the old config (query-side bucket math would silently
     # diverge from the stored layout). The fingerprint folds the config in,
     # forcing a rebuild on any mismatch.
-    fingerprint = f"{input_id}|v{INDEX_FORMAT}|cfg:b{n_buckets}.bs{block_size}.h{hot_df}.s{n_salts}"
+    # from_html changes the produced bytes (extract source) and K_TOP the
+    # block_stats table — both fold into the fingerprint so a rerun with
+    # either changed rebuilds instead of serving stale stages.
+    fingerprint = (
+        f"{input_id}|v{INDEX_FORMAT}|cfg:b{n_buckets}.bs{block_size}.h{hot_df}.s{n_salts}"
+        f".fh{int(bool(from_html))}.kt{K_TOP}"
+    )
     prev_cfg = wh.read_manifest("config") or {}
     for key in ("wand_avgdl", "n_appends"):  # survive resume no-ops; reset
         if key in prev_cfg:  # happens in the blocks stage on real reruns
@@ -706,7 +717,6 @@ def build_index(
     # touches the compressed binary blobs.
     if stage_runs("block_stats"):
         t0 = time.time()
-        K_TOP = 32
         pb = catalog.read_table(spark, wh.root, "postings")
         partial = pb.groupBy("term", "salt").agg(
             F.count("*").cast("long").alias("nb"),
@@ -836,7 +846,6 @@ def append_index(
     catalog.append_table(spark, new_blocks, wh.root, "postings", partition_by=["bucket"])
 
     # ---- refresh the per-term block summary over ALL blocks ----
-    K_TOP = 32
     pb = catalog.read_table(spark, wh.root, "postings")
     partial = pb.groupBy("term", "salt").agg(
         F.count("*").cast("long").alias("nb"),

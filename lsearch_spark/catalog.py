@@ -40,9 +40,16 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
 
 
 def _ident(cat: str, wh_root: str, name: str) -> str:
-    # one namespace per warehouse root so multiple warehouses coexist
-    suffix = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(wh_root)))
-    return f"{cat}.{_NAMESPACE}_{suffix}.{name}"
+    # one namespace per warehouse root so multiple warehouses coexist.
+    # The basename alone is NOT unique (two roots ending in a common dir
+    # name like .../wh would clobber each other's tables), so a short
+    # hash of the full normalized root is folded into the namespace.
+    import hashlib
+
+    norm = os.path.normpath(wh_root)
+    suffix = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(norm))
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    return f"{cat}.{_NAMESPACE}_{suffix}_{digest}.{name}"
 
 
 def write_table(

@@ -516,12 +516,14 @@ def search_with_stats(
     query: str,
     k: int = 10,
     mode: str = "or",
-    prune: bool = False,
+    prune: bool = True,
 ) -> tuple[list, dict]:
     """Run a search eagerly and record per-query metrics — the analog of
     the reference's --stats surface (cli.rs:14-56 per-op stats, dump at
     cli.rs:510-512): blocks decoded vs total, postings decoded, wall ms.
-    Returns (rows, stats_dict); also appends a row to query_metrics."""
+    Returns (rows, stats_dict); also appends a row to query_metrics.
+    prune defaults True to MATCH search()'s default — the instrumented
+    path must measure the same plan a production search runs."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
     info: dict = {}
@@ -549,7 +551,7 @@ def plan_summary(
     query: str,
     k: int = 10,
     mode: str = "or",
-    prune: bool = False,
+    prune: bool = True,
 ) -> str:
     """The `--strats` analog (reference summarize_runs cli.rs:326-341,
     dispatch cli.rs:439-441): a human-readable description of the planned

@@ -46,6 +46,18 @@ def test_frame_sampling(spark, media):
     assert (pdf["frame_idx"] % 7 == 0).all()
 
 
+def test_audio_empty_payload_yields_zero_row(spark):
+    """Empty payloads must produce zero-feature rows, not disappear —
+    consumers that count or join audio media by media_id rely on it."""
+    rows = [(1, "audio", bytearray(b""), None, None, None, 16000),
+            (2, "audio", bytearray(b"\x10\x90" * 50), None, None, None, 16000)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.decode_audio_features(media).collect()}
+    assert set(feats) == {1, 2}
+    assert feats[1]["duration_s"] == 0.0 and feats[1]["rms"] == 0.0 and feats[1]["zero_crossings"] == 0
+    assert feats[2]["duration_s"] > 0.0 and feats[2]["rms"] > 0.0
+
+
 def test_real_decode_is_explicit_stub(spark, media):
     with pytest.raises(Exception) as exc:
         mm.decode_image_features(media, decode="real").collect()
