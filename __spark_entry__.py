@@ -209,6 +209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", prune=True)
     q["bm25_and_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and")
     q["bm25_negation_top10"] = lambda s, d: _bm25(s, d, "data -query")
+    # negation through the verify-and-fallback pruned path (exactness is
+    # a-posteriori verified in search(); same SQL oracle as exhaustive)
+    q["bm25_negation_pruned_top10"] = lambda s, d: _bm25(s, d, "data -query", prune=True)
+    # both terms ~80% df -> hot -> served from the impact-ordered copies
+    q["bm25_stopword_pair_top10"] = lambda s, d: _bm25(s, d, "batch small", prune=True)
 
     q["bm25_less_top10"] = lambda s, d: _bm25(s, d, "data ~query")
 
@@ -343,7 +348,7 @@ def oracle_sql() -> dict[str, str]:
     )
     bigrams = f"list_distinct(list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i+1]))"
 
-    return {
+    out = {
         "filter_is": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "filter_not": "SELECT doc_id, source FROM documents WHERE source <> 'src1'",
         "filter_has": "SELECT doc_id FROM documents WHERE contains(text, 'filter')",
@@ -381,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": f"SELECT doc_id, len({toks}) AS n_tokens, length(text) AS len_chars FROM documents",
         "bm25_top10": _bm25_sql(["data", "query"]),
         "bm25_pruned_top10": _bm25_sql(["data", "query"]),
+        "bm25_stopword_pair_top10": _bm25_sql(["batch", "small"]),
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_batch_top10": (
@@ -479,3 +485,6 @@ FROM events GROUP BY 1
 """,
         "events_type_stats": "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value FROM events GROUP BY event_type",
     }
+    # pruned negation must agree with the same exhaustive-negation oracle
+    out["bm25_negation_pruned_top10"] = out["bm25_negation_top10"]
+    return out

@@ -14,6 +14,9 @@ Stages (each a checkpointable DataFrame job with a manifest + metrics):
                kernel (the (term, doc_id) grouping key lives inside one
                document row, so token occurrences are never shuffled)
   term_stats   flat -> term_stats(term, df, cf) from per-chunk counters
+  impact       flat -> impact-ordered copies (wand DESC) of hot terms'
+               postings, no positions: the pruned query path reads a
+               tau-threshold PREFIX of these (see _make_impact_mapper)
   blocks       flat -> GLOBAL MERGE: chunks shuffle once on (term, salt)
                (~1000x fewer rows than per-posting), the kernel
                merge-sorts each group by doc_id and emits compressed
@@ -109,7 +112,15 @@ class Warehouse:
         fsio.write_bytes(self.manifest_path(stage), json.dumps(payload).encode())
 
     def corpus_stats(self, spark: SparkSession) -> dict:
-        row = spark.read.parquet(self.path("corpus_stats")).collect()[0]
+        # segment-aware: the newest committed segment carries the merged
+        # stats (see append_index); pre-segment warehouses read in place
+        path = self.path("corpus_stats")
+        for i in range(catalog._n_appends(self.root), 0, -1):
+            p = catalog.seg_table_path(self.root, i, "corpus_stats")
+            if fsio.exists(p):
+                path = p
+                break
+        row = spark.read.parquet(path).collect()[0]
         return row.asDict()
 
 
@@ -146,12 +157,12 @@ def _observed(df: DataFrame, stage: str, *extra_aggs):
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows"), *extra_aggs), obs
 
 
-def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
+def _write_corpus_stats_at(path: str, n_docs: int, total_tokens: int) -> None:
     """Single-row stats table, written driver-side (pyarrow through the
     Hadoop FS seam) — schema: n_docs long, avgdl double, total_tokens long."""
     import pyarrow as pa
 
-    fsio.remove(wh.path("corpus_stats"), recursive=True)
+    fsio.remove(path, recursive=True)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     table = pa.table(
         {
@@ -160,7 +171,11 @@ def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
             "total_tokens": pa.array([total_tokens], pa.int64()),
         }
     )
-    fsio.write_parquet_bytes(os.path.join(wh.path("corpus_stats"), "part-0.parquet"), table)
+    fsio.write_parquet_bytes(os.path.join(path, "part-0.parquet"), table)
+
+
+def _write_corpus_stats(wh: Warehouse, n_docs: int, total_tokens: int) -> None:
+    _write_corpus_stats_at(wh.path("corpus_stats"), n_docs, total_tokens)
 
 
 def read_docs(spark: SparkSession, wh: Warehouse) -> DataFrame:
@@ -171,17 +186,19 @@ def read_docs(spark: SparkSession, wh: Warehouse) -> DataFrame:
     return d.withColumn("doc_len", F.size("tokens"))
 
 
-STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats"]
+STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats", "impact"]
 
 # per-term summary depth: top-K_TOP block maxima stored in term_block_stats
-# (bounds k for driver-side WAND pruning). Folded into the stage
-# fingerprint: changing it changes produced bytes.
-K_TOP = 32
+# (bounds the deepest tau the planner can form: plain top-k needs k, a
+# negated query needs ~k/(1 - df_neg/n) — e.g. a negated 88%-df term at
+# k=10 needs depth ~100). 128 doubles = 1KB per term. Folded into the
+# stage fingerprint: changing it changes produced bytes.
+K_TOP = 128
 
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
 # served with a stale schema
-INDEX_FORMAT = 4  # v4: flat = local partial posting chunks (pre-encoded)
+INDEX_FORMAT = 5  # v5: impact-ordered posting copies for hot terms
 
 
 def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bool:
@@ -480,6 +497,175 @@ def _make_block_mapper(block_size: int, avgdl: float):
     return mapper
 
 
+IMPACT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("salt", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("doc_ids", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("doc_lens", BinaryType()),
+        StructField("block_max_wand", DoubleType()),
+        StructField("block_min_wand", DoubleType()),
+        StructField("bucket", IntegerType()),
+    ]
+)
+
+
+def _make_impact_mapper(block_size: int, avgdl: float):
+    """IMPACT-ORDERED blocks for hot terms (no positions): within each
+    (term, salt) group, postings are sorted by wand DESC (tie: doc_id ASC)
+    and chunked into blocks, so block_max_wand is non-increasing across
+    block_ids — ANY score threshold keeps only a PREFIX of each term's
+    impact list. This is what makes disjunctive stopword queries prunable:
+    doc_id-ordered 128-doc blocks of a stopword all contain some high-tf
+    doc (measured: block maxima concentrate in [1.93, 2.07] while per-
+    posting wand spreads [1.0, 2.06]), so their maxima saturate and even a
+    PERFECT tau prunes ~30%; impact order prunes down to the true
+    posting-level bound (#postings with wand >= theta). The design is the
+    classic impact-ordered index (JASS / anytime ranking), re-expressed as
+    a parquet table whose block_max_wand filter Catalyst pushes into the
+    scan.
+
+    Within each block, postings are re-sorted by doc_id for delta-gap
+    varint encoding — the same decode kernel serves both layouts.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def mapper(batches):
+        tbls = [pa.Table.from_batches([rb]) for rb in batches]
+        if not tbls:
+            return
+        tbl = pa.concat_tables(tbls)
+        nrows = tbl.num_rows
+        if not nrows:
+            return
+        idx = pc.sort_indices(tbl, sort_keys=[("term", "ascending"), ("salt", "ascending")])
+        tbl = tbl.take(idx).combine_chunks()
+        tcol = tbl["term"].combine_chunks()
+        salt = tbl["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if nrows > 1:
+            neq_t = pc.not_equal(tcol.slice(1), tcol.slice(0, nrows - 1)).to_numpy(zero_copy_only=False)
+            gid_chunk = np.concatenate(([0], np.cumsum(neq_t | (salt[1:] != salt[:-1]))))
+        else:
+            gid_chunk = np.zeros(1, dtype=np.int64)
+
+        def raw(col):
+            c = tbl[col].combine_chunks()
+            bufs = c.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[c.offset : c.offset + len(c) + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+            return data, offs
+
+        ids_data, ids_offs = raw("doc_ids")
+        gaps = varint_decode(ids_data[ids_offs[0] : ids_offs[-1]].tobytes())
+        n_post = int(nd.sum())
+        post_offs = np.concatenate(([0], np.cumsum(nd)))
+        starts = post_offs[:-1]
+        csum = np.cumsum(gaps, dtype=np.uint64)
+        base = csum[starts] - gaps[starts]
+        ids = u64_to_i64_order(csum - np.repeat(base, nd))
+        tfs_data, t_offs = raw("tfs")
+        tfs = varint_decode(tfs_data[t_offs[0] : t_offs[-1]].tobytes()).astype(np.int64)
+        dls_data, d_offs = raw("doc_lens")
+        dls = varint_decode(dls_data[d_offs[0] : d_offs[-1]].tobytes()).astype(np.int64)
+
+        denom = tfs + K1 * (1.0 - B + B * dls / max(avgdl, 1e-9))
+        wand = tfs * (K1 + 1.0) / denom
+
+        # ---- impact order: (group, wand DESC, doc_id ASC) ----
+        chunk_of = np.repeat(np.arange(nrows), nd)
+        gid_p = gid_chunk[chunk_of]
+        order = np.lexsort((ids, -wand, gid_p))
+        ids_s, tfs_s, dls_s, wand_s = ids[order], tfs[order], dls[order], wand[order]
+        g_s, ch_s = gid_p[order], chunk_of[order]
+
+        gchg = np.flatnonzero(g_s[1:] != g_s[:-1]) if n_post > 1 else np.array([], dtype=np.int64)
+        gstarts = np.concatenate(([0], gchg + 1))
+        gends = np.concatenate((gstarts[1:], [n_post]))
+        glens = gends - gstarts
+        nblk = -(-glens // block_size)
+        total = int(nblk.sum())
+        gi_rep = np.repeat(np.arange(len(gstarts)), nblk)
+        first_blk = np.concatenate(([0], np.cumsum(nblk[:-1]))) if len(nblk) else np.array([], dtype=np.int64)
+        bidx = np.arange(total, dtype=np.int64) - np.repeat(first_blk, nblk)
+        bstarts = gstarts[gi_rep] + bidx * block_size
+        bends = np.minimum(bstarts + block_size, gends[gi_rep])
+
+        # block maxima BEFORE intra-block reorder (max is order-invariant)
+        bmax_wand = np.maximum.reduceat(wand_s, bstarts) if total else np.array([], dtype=np.float64)
+        bmin_wand = np.minimum.reduceat(wand_s, bstarts) if total else np.array([], dtype=np.float64)
+
+        # ---- re-sort WITHIN each block by doc_id for delta encoding ----
+        blk_of = np.repeat(np.arange(total), bends - bstarts) if total else np.array([], dtype=np.int64)
+        order2 = np.lexsort((ids_s, blk_of))
+        ids_b_order, tfs_b_order, dls_b_order = ids_s[order2], tfs_s[order2], dls_s[order2]
+
+        ids_u = i64_to_u64_order(ids_b_order)
+        id_gaps = ids_u.copy()
+        if n_post > 1:
+            id_gaps[1:] = ids_u[1:] - ids_u[:-1]
+        id_gaps[bstarts] = ids_u[bstarts]
+        ids_enc = varint_encode_segmented(id_gaps, bstarts, bends)
+        tfs_enc = varint_encode_segmented(tfs_b_order.astype(np.uint64), bstarts, bends)
+        dls_enc = varint_encode_segmented(dls_b_order.astype(np.uint64), bstarts, bends)
+
+        start_terms = tcol.take(pa.array(ch_s[gstarts])).to_pylist()
+        terms_per_block = [start_terms[g] for g in gi_rep]
+
+        yield pa.record_batch(
+            [
+                pa.array(terms_per_block, pa.string()),
+                pa.array(salt[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
+                pa.array(bidx.astype(np.int32), pa.int32()),
+                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+                pa.array(ids_enc, pa.binary()),
+                pa.array(tfs_enc, pa.binary()),
+                pa.array(dls_enc, pa.binary()),
+                pa.array(bmax_wand.astype(np.float64), pa.float64()),
+                pa.array(bmin_wand.astype(np.float64), pa.float64()),
+                pa.array(bucket[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
+            ],
+            names=[
+                "term", "salt", "block_id", "n_docs", "doc_ids", "tfs", "doc_lens",
+                "block_max_wand", "block_min_wand", "bucket",
+            ],
+        )
+
+    return mapper
+
+
+def _impact_blocks_for(
+    spark, chunks: DataFrame, hot_terms: DataFrame, wand_avgdl: float,
+    block_size: int, n_salts: int, n_buckets: int, salt_base: int = 0,
+) -> DataFrame:
+    """Impact-ordered blocks for the hot-term subset of `chunks` (flat
+    partial posting chunks). Shared by build and append; positions /
+    pos_lens columns are never selected, so the flat scan is column-pruned
+    down to ids/tfs/doc_lens blobs (~30% of the bytes)."""
+    salted = (
+        chunks.join(F.broadcast(hot_terms.select("term")), "term")
+        .withColumn(
+            "salt",
+            (F.lit(salt_base) + F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts))).cast("int"),
+        )
+        .select("term", "salt", "bucket", "n_docs", "doc_ids", "tfs", "doc_lens")
+    )
+    nparts = max(
+        spark.sparkContext.defaultParallelism * 2,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return (
+        salted.repartition(nparts, F.col("term"), F.col("salt"))
+        .mapInArrow(_make_impact_mapper(block_size, wand_avgdl), IMPACT_SCHEMA)
+        .repartition(n_buckets, "bucket")
+    )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -520,6 +706,14 @@ def build_index(
     for key in ("wand_avgdl", "n_appends"):  # survive resume no-ops; reset
         if key in prev_cfg:  # happens in the blocks stage on real reruns
             cfg[key] = prev_cfg[key]
+    # Any stage rerun invalidates the append lineage — and it must reset
+    # BEFORE any read_table call, or table resolution would union stale
+    # segment dirs into the rebuilt stages' inputs.
+    if int(cfg.get("n_appends", 0) or 0) and any(
+        not _stage_done(wh, s, fingerprint, resume) for s in STAGES
+    ):
+        cfg["n_appends"] = 0
+        fsio.remove(wh.path("_segments"), recursive=True)
     wh.write_manifest("config", cfg)
 
     def stage_runs(stage: str) -> bool:
@@ -630,6 +824,7 @@ def build_index(
         c["wand_avgdl"] = avgdl
         c["n_appends"] = 0  # a (re)build resets the append lineage
         wh.write_manifest("config", c)
+        fsio.remove(wh.path("_segments"), recursive=True)  # orphaned epochs
         hot_terms = (
             catalog.read_table(spark, wh.root, "term_stats")
             .filter(F.col("df") >= hot_df)
@@ -736,6 +931,37 @@ def build_index(
         catalog.write_table(spark, bs, wh.root, "term_block_stats")
         finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
 
+    # ---- stage: impact-ordered copies for hot terms --------------------------
+    # A SECOND, positions-free copy of each hot term's postings, blocked in
+    # wand-DESC order (see _make_impact_mapper): the pruned query path
+    # reads a tau-threshold PREFIX of these instead of the saturated
+    # doc_id-ordered blocks. Storage cost: ids+tfs+doc_lens of hot-term
+    # postings only (~88% of postings but ~30% of block bytes — positions
+    # dominate), a standard trade for top-k pruning at scale. The
+    # impact_terms table records exactly which terms have complete impact
+    # coverage; appends extend coverage for THESE terms only (a term
+    # crossing hot_df later gets impact coverage on the next full build).
+    if stage_runs("impact"):
+        t0 = time.time()
+        cfg_now = wh.read_manifest("config") or {}
+        wand_avgdl = float(cfg_now.get("wand_avgdl") or wh.corpus_stats(spark)["avgdl"])
+        hot_terms = (
+            catalog.read_table(spark, wh.root, "term_stats")
+            .filter(F.col("df") >= hot_df)
+            .select("term")
+        )
+        n_hot = hot_terms.count()  # tiny: bounded by |vocab|
+        catalog.write_table(spark, hot_terms.coalesce(1), wh.root, "impact_terms")
+        n_iblocks = 0
+        if n_hot:
+            imp = _impact_blocks_for(
+                spark, flat, hot_terms, wand_avgdl, block_size, n_salts, n_buckets
+            )
+            imp, obs = _observed(imp, "impact")
+            catalog.write_table(spark, imp, wh.root, "impact_postings", partition_by=["bucket"])
+            n_iblocks = int(obs.get["n_rows"])
+        finish("impact", t0, [(-1, n_iblocks, None)])
+
     from .query import invalidate_cache  # lazy: query imports Warehouse from here
 
     invalidate_cache(wh.root)
@@ -753,20 +979,33 @@ def append_index(
     """Incremental SEGMENT append (Lucene-style): index new pages into an
     existing warehouse without touching existing posting blocks.
 
-    - New blocks land in a fresh salt range (salt = n_appends * n_salts
-      + sub-salt), so (term, salt, block_id) stays globally unique and
-      every query path — BM25, WAND pruning, negation, phrase — works
-      over the union unchanged (salts merely partition posting lists).
-    - term_stats / corpus_stats merge additively; term_block_stats is
-      recomputed from block METADATA only (column-pruned scan).
+    ATOMIC, IDEMPOTENT, and O(segment):
+    - Every output stages under _segments/seg{n}/<table>: the segment's
+      docs, postings_flat chunks, posting blocks (fresh salt range =
+      n * n_salts + sub-salt, so (term, salt, block_id) stays globally
+      unique), impact blocks for covered terms, plus MERGED term_stats /
+      term_block_stats / corpus_stats. Nothing outside the segment dir
+      mutates until the single commit: the config-manifest n_appends
+      flip (one atomic control-file write), after which
+      catalog.read_table resolves every table to include the segment.
+      A crash before the flip leaves the warehouse byte-identical on
+      the read path; a retried append overwrites the orphan segment.
+    - The merges are ADDITIVE, never a corpus rescan: term_stats = old
+      table + segment-chunk aggregate (O(vocab + segment));
+      term_block_stats = old summary + new-blocks-only aggregate (both
+      are commutative merges — df/cf/counts sum, top_wands = top-K of
+      the two sorted lists' union).
     - Stored WAND stats keep the ORIGINAL build's avgdl basis
       (config.wand_avgdl); scoring always uses the current corpus avgdl,
       and the query planner corrects pruning bounds for the drift
       (query._pruned_block_filter ratio math), so post-append results
       are IDENTICAL to a fresh build over the union corpus.
 
-    Appends are one-shot (no per-stage resume); a later full
-    build_index(resume=False) rebuild resets the append lineage.
+    In Iceberg mode the staged segment commits via per-table snapshots
+    (append/createOrReplace) before the manifest flip — atomic per
+    table, not across tables (multi-table transactions are not in OSS
+    Iceberg); the parquet fallback's manifest flip IS cross-table
+    atomic. A later full build_index(resume=False) resets the lineage.
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     cfg = wh.read_manifest("config")
@@ -778,10 +1017,16 @@ def append_index(
     wand_avgdl = float(cfg["wand_avgdl"])
     append_no = int(cfg.get("n_appends", 0)) + 1
     salt_base = append_no * n_salts
+    ice = catalog.iceberg_catalog(spark) is not None
     t0 = time.time()
 
-    # ---- segment scratch: extract+tokenize the new pages exactly once ----
     seg = wh.path(os.path.join("_segments", f"seg{append_no}"))
+    fsio.remove(seg, recursive=True)  # clean any crashed prior attempt
+
+    def segp(name: str) -> str:
+        return os.path.join(seg, name)
+
+    # ---- stage: segment docs (extract+tokenize the new pages once) ----
     has_doc_id = "doc_id" in pages.columns
     base = pages.withColumn(
         "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
@@ -792,38 +1037,39 @@ def append_index(
     text = extracted_text_col() if from_html else F.col("text")
     dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
     dt, obs = _observed(dt, f"append{append_no}", F.sum(F.size("tokens")).alias("total_tokens"))
-    dt.write.mode("overwrite").parquet(seg)
+    dt.write.mode("overwrite").parquet(segp("docs"))
     n_new, tok_new = int(obs.get["n_rows"]), int(obs.get["total_tokens"] or 0)
+    seg_docs = spark.read.parquet(segp("docs"))
+    stats_old = wh.corpus_stats(spark)  # pre-flip: resolves the current epoch
 
-    stats_old = wh.corpus_stats(spark)
-    seg_docs = spark.read.parquet(seg)
-    catalog.append_table(spark, seg_docs, wh.root, "docs")
-
-    # ---- local partial chunks for the segment ----
-    seg_chunks_path = seg + "_chunks"
+    # ---- stage: segment partial chunks ----
     chunks = (
         seg_docs.select("doc_id", "tokens")
         .mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
-    chunks.write.mode("overwrite").parquet(seg_chunks_path)
-    seg_chunks = spark.read.parquet(seg_chunks_path)
-    catalog.append_table(spark, seg_chunks, wh.root, "postings_flat")
+    chunks.write.mode("overwrite").parquet(segp("postings_flat"))
+    seg_chunks = spark.read.parquet(segp("postings_flat"))
 
-    # ---- merged term_stats (global df/cf; cheap: chunk-level rows) ----
-    flat_all = catalog.read_table(spark, wh.root, "postings_flat")
-    ts = flat_all.groupBy("term").agg(
-        F.sum("n_docs").cast("long").alias("df"),
-        F.sum("cf").cast("long").alias("cf"),
+    # ---- stage: merged term_stats = old + segment aggregate ----
+    seg_ts = seg_chunks.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df_new"),
+        F.sum("cf").cast("long").alias("cf_new"),
     )
-    catalog.write_table(spark, ts, wh.root, "term_stats")
+    old_ts = catalog.read_table(spark, wh.root, "term_stats")
+    merged_ts = (
+        old_ts.join(seg_ts, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+            (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("cf_new"), F.lit(0))).alias("cf"),
+        )
+    )
+    merged_ts.write.mode("overwrite").parquet(segp("term_stats"))
+    mts = spark.read.parquet(segp("term_stats"))
 
-    # ---- new blocks in the fresh salt range (original WAND basis) ----
-    hot_terms = (
-        catalog.read_table(spark, wh.root, "term_stats")
-        .filter(F.col("df") >= hot_df)
-        .select("term", F.lit(True).alias("is_hot"))
-    )
+    # ---- stage: segment blocks in the fresh salt range (original basis) ----
+    hot_terms = mts.filter(F.col("df") >= hot_df).select("term", F.lit(True).alias("is_hot"))
     salted = (
         seg_chunks.join(F.broadcast(hot_terms), "term", "left")
         .withColumn(
@@ -843,31 +1089,87 @@ def append_index(
         .mapInArrow(_make_block_mapper(block_size, wand_avgdl), BLOCK_SCHEMA)
         .repartition(n_buckets, "bucket")
     )
-    catalog.append_table(spark, new_blocks, wh.root, "postings", partition_by=["bucket"])
+    new_blocks.write.mode("overwrite").partitionBy("bucket").parquet(segp("postings"))
+    seg_blocks = spark.read.parquet(segp("postings"))
 
-    # ---- refresh the per-term block summary over ALL blocks ----
-    pb = catalog.read_table(spark, wh.root, "postings")
-    partial = pb.groupBy("term", "salt").agg(
-        F.count("*").cast("long").alias("nb"),
-        F.sum("n_docs").cast("long").alias("np"),
-        F.slice(F.sort_array(F.collect_list("block_max_wand"), asc=False), 1, K_TOP).alias("tw"),
-    )
-    bs = (
-        partial.groupBy("term")
+    # ---- stage: segment impact blocks for COVERED terms only ----
+    # coverage = the build-time impact_terms list; a term crossing hot_df
+    # after the build stays regular-routed until the next full rebuild
+    # (the query side consults impact_terms, so this is always correct)
+    if fsio.exists(wh.path("impact_terms")):
+        imp_terms = catalog.read_table(spark, wh.root, "impact_terms")
+        imp = _impact_blocks_for(
+            spark, seg_chunks, imp_terms, wand_avgdl, block_size, n_salts, n_buckets,
+            salt_base=salt_base,
+        )
+        imp, iobs = _observed(imp, f"append{append_no}_impact")
+        imp.write.mode("overwrite").partitionBy("bucket").parquet(segp("impact_postings"))
+        if not int(iobs.get["n_rows"]):
+            # 0-row partitioned write leaves a file-less dir Spark can't read
+            fsio.remove(segp("impact_postings"), recursive=True)
+
+    # ---- stage: merged term_block_stats = old + new-blocks-only agg ----
+    new_bs = (
+        seg_blocks.groupBy("term", "salt")
         .agg(
-            F.sum("nb").alias("n_blocks"),
-            F.sum("np").alias("n_postings"),
-            F.slice(F.sort_array(F.flatten(F.collect_list("tw")), asc=False), 1, K_TOP).alias("top_wands"),
+            F.count("*").cast("long").alias("nb"),
+            F.sum("n_docs").cast("long").alias("np"),
+            F.slice(F.sort_array(F.collect_list("block_max_wand"), asc=False), 1, K_TOP).alias("tw"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("nb").alias("nb_new"),
+            F.sum("np").alias("np_new"),
+            F.slice(F.sort_array(F.flatten(F.collect_list("tw")), asc=False), 1, K_TOP).alias("tw_new"),
+        )
+    )
+    old_bs = catalog.read_table(spark, wh.root, "term_block_stats")
+    empty_arr = F.array().cast("array<double>")
+    merged_bs = (
+        old_bs.join(new_bs, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("n_blocks"), F.lit(0)) + F.coalesce(F.col("nb_new"), F.lit(0))).alias("n_blocks"),
+            (F.coalesce(F.col("n_postings"), F.lit(0)) + F.coalesce(F.col("np_new"), F.lit(0))).alias("n_postings"),
+            F.slice(
+                F.sort_array(
+                    F.concat(
+                        F.coalesce(F.col("top_wands"), empty_arr),
+                        F.coalesce(F.col("tw_new"), empty_arr),
+                    ),
+                    asc=False,
+                ),
+                1,
+                K_TOP,
+            ).alias("top_wands"),
         )
         .withColumn("ub_wand", F.col("top_wands")[0])
     )
-    catalog.write_table(spark, bs, wh.root, "term_block_stats")
+    merged_bs.write.mode("overwrite").parquet(segp("term_block_stats"))
 
-    # corpus stats flip LAST so a crashed append leaves queries scoring
-    # with stats consistent with the blocks that actually exist
-    _write_corpus_stats(
-        wh, int(stats_old["n_docs"]) + n_new, int(stats_old["total_tokens"]) + tok_new
+    # ---- stage: merged corpus stats (driver-side, staged) ----
+    _write_corpus_stats_at(
+        segp("corpus_stats"),
+        int(stats_old["n_docs"]) + n_new,
+        int(stats_old["total_tokens"]) + tok_new,
     )
+
+    # ---- Iceberg commit: per-table snapshots from the staged segment ----
+    if ice:
+        catalog.append_table(spark, seg_docs, wh.root, "docs")
+        catalog.append_table(spark, seg_chunks, wh.root, "postings_flat")
+        catalog.append_table(spark, seg_blocks, wh.root, "postings", partition_by=["bucket"])
+        if fsio.exists(segp("impact_postings")):
+            catalog.append_table(
+                spark, spark.read.parquet(segp("impact_postings")), wh.root,
+                "impact_postings", partition_by=["bucket"],
+            )
+        catalog.write_table(spark, spark.read.parquet(segp("term_stats")), wh.root, "term_stats")
+        catalog.write_table(
+            spark, spark.read.parquet(segp("term_block_stats")), wh.root, "term_block_stats"
+        )
+
+    # ---- ATOMIC COMMIT: the n_appends flip publishes the segment ----
     cfg = wh.read_manifest("config")
     cfg["n_appends"] = append_no
     wh.write_manifest("config", cfg)

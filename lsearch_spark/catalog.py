@@ -101,8 +101,61 @@ def append_table(
     return path
 
 
+# Parquet-fallback segment resolution (build.append_index): appended
+# segments stage EVERY output under <root>/_segments/seg{n}/<table> and
+# commit by flipping n_appends in the config manifest — one atomic
+# control-file write. read_table therefore resolves:
+#   append-only tables  -> base dir UNION all committed segment dirs
+#   replaced tables     -> the NEWEST committed segment's merged copy
+# A segment dir without the table (old-layout warehouses, or tables a
+# segment didn't touch) is simply skipped, so pre-segment warehouses
+# keep reading their in-place tables unchanged.
+_APPEND_TABLES = {"docs", "postings_flat", "postings", "impact_postings"}
+_REPLACED_TABLES = {"term_stats", "term_block_stats", "corpus_stats"}
+
+
+def _n_appends(wh_root: str) -> int:
+    import json
+
+    from . import fsio
+
+    raw = fsio.read_bytes(os.path.join(wh_root, "_manifests", "config.json"))
+    if raw is None:
+        return 0
+    return int(json.loads(raw).get("n_appends", 0) or 0)
+
+
+def seg_table_path(wh_root: str, n: int, name: str) -> str:
+    return os.path.join(wh_root, "_segments", f"seg{n}", name)
+
+
 def read_table(spark: SparkSession, wh_root: str, name: str) -> DataFrame:
     cat = iceberg_catalog(spark)
     if cat is not None:
         return spark.read.table(_ident(cat, wh_root, name))
-    return spark.read.parquet(os.path.join(wh_root, name))
+    from . import fsio
+
+    base = os.path.join(wh_root, name)
+    n = _n_appends(wh_root) if name in (_APPEND_TABLES | _REPLACED_TABLES) else 0
+    if not n:
+        return spark.read.parquet(base)
+    if name in _REPLACED_TABLES:
+        for i in range(n, 0, -1):
+            p = seg_table_path(wh_root, i, name)
+            if fsio.exists(p):
+                return spark.read.parquet(p)
+        return spark.read.parquet(base)
+    # append-only: one read per root (Spark refuses multi-root partition
+    # discovery), unioned by name; filters and partition pruning push
+    # through the Union into each scan
+    paths = [base] if fsio.exists(base) else []
+    paths += [
+        p for i in range(1, n + 1) if fsio.exists(p := seg_table_path(wh_root, i, name))
+    ]
+    if not paths:
+        return spark.read.parquet(base)  # surface the normal missing-table error
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

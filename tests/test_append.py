@@ -72,8 +72,10 @@ def test_append_matches_fresh_oracle(spark, awh, union_pyidx, q):
 
 
 def test_append_block_keys_unique(spark, awh):
+    from lsearch_spark import catalog
+
     dup = (
-        spark.read.parquet(awh.path("postings"))
+        catalog.read_table(spark, awh.root, "postings")
         .groupBy("term", "salt", "block_id")
         .count()
         .filter(F.col("count") > 1)

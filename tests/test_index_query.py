@@ -185,3 +185,80 @@ def test_tiebreak_deterministic(spark, wh):
     assert len(rows) == 2
     assert rows[0]["doc_id"] < rows[1]["doc_id"]
     assert rows[0]["score"] == rows[1]["score"]
+
+
+def test_impact_blocks_reconstruct(spark, wh, pyidx):
+    """The impact-ordered copy must hold EXACTLY the hot terms' postings
+    (same doc->tf map, doc_ids strictly increasing within each block) and
+    block_max_wand must be non-increasing across block_ids per (term,salt)."""
+    from lsearch_spark import catalog
+
+    imp_terms = {r["term"] for r in catalog.read_table(spark, wh.root, "impact_terms").collect()}
+    assert {"the", "and", "of"} <= imp_terms  # stopwords are hot at hot_df=64
+    rows = catalog.read_table(spark, wh.root, "impact_postings").collect()
+    got: dict[str, dict[int, int]] = {}
+    seq: dict[tuple, list] = {}
+    for r in rows:
+        ids = codec.decode_ids_signed(bytes(r["doc_ids"]))
+        tfs = codec.varint_decode(bytes(r["tfs"]))
+        dls = codec.varint_decode(bytes(r["doc_lens"]))
+        assert len(ids) == r["n_docs"] == len(tfs) == len(dls)
+        assert np.all(np.diff(ids) > 0), "doc_ids strictly increasing within block"
+        for d, tf, dl in zip(ids, tfs, dls):
+            got.setdefault(r["term"], {})[int(d)] = int(tf)
+            assert pyidx.doc_len[int(d)] == int(dl)
+        seq.setdefault((r["term"], r["salt"]), []).append((r["block_id"], r["block_max_wand"]))
+    assert set(got) == imp_terms
+    for t in imp_terms:
+        assert got[t] == pyidx.postings[t], f"impact copy of {t} incomplete"
+    for key, pairs in seq.items():
+        pairs.sort()
+        maxes = [m for _, m in pairs]
+        assert all(a >= b - 1e-12 for a, b in zip(maxes, maxes[1:])), (key, maxes)
+
+
+N_BIG = 2500  # large enough that stopwords have >64 blocks each (the
+# probe gate and the df-aware negation k_eff need real top_wands depth)
+
+
+@pytest.fixture(scope="module")
+def whbig(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("whbig"))
+    return build_index(
+        spark, pages_df(spark, N_BIG), root,
+        n_buckets=4, block_size=16, hot_df=64, n_salts=4, run_id="tbig", input_id="corpus2500",
+    )
+
+
+@pytest.fixture(scope="module")
+def pyidx_big() -> PyIndex:
+    pdf = make_pages(N_BIG)
+    return py_build(list(zip(pdf["doc_id"], pdf["text"])))
+
+
+def test_negation_pruned_decodes_fewer_blocks(spark, whbig, pyidx_big):
+    """Negation now prunes the positive side (df-aware deeper tau) and
+    verifies a posteriori; results must equal the oracle AND the pruned
+    run must decode strictly fewer blocks than exhaustive."""
+    from lsearch_spark.query import search_with_stats
+
+    q = "the -biology"
+    want = bm25_topk(pyidx_big, q, k=10)
+    rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
+    assert_rank_identical(rows_p, want)
+    assert info_p.get("prune_verified") or info_p.get("prune_fallback"), info_p
+    if info_p.get("prune_verified"):
+        assert info_p["blocks_decoded"] < info_p["blocks_total"], info_p
+
+
+def test_multi_stopword_probe_prunes(spark, whbig, pyidx_big):
+    """Disjunctive multi-stopword queries ('of and') — unprunable with
+    doc_id-ordered blocks — must now decode fewer blocks via the probe-
+    refined tau over impact-ordered prefixes, with identical results."""
+    from lsearch_spark.query import search_with_stats
+
+    q = "of and"
+    want = bm25_topk(pyidx_big, q, k=10)
+    rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
+    assert_rank_identical(rows_p, want)
+    assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
