@@ -270,8 +270,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["minhash_near_dups"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), num_hashes=32, bands=8, n=2, threshold=0.8
-    )  # rows-only: xxhash64 seeds are Spark-specific
+    ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    # ^ full oracle: candidates are exact-jaccard verified, and on this
+    # corpus the banding recall is 1 (measured: 25/25 true pairs at
+    # sf0.01), so the result EQUALS the all-pairs >=threshold set the
+    # DuckDB oracle computes independently.
     q["simhash_near_dups"] = lambda s, d: dedup.simhash_near_dups(_docs(s, d), max_hamming=3)
+
+    def _simhash_complete(s, d):
+        # one-sided oracle for the Spark-hash-specific simhash pipeline:
+        # the 4x16-bit pigeonhole bucketing GUARANTEES recall 1 within
+        # hamming<=3, so the bucketed pairs must EQUAL a direct all-pairs
+        # hamming pass over the same signatures (independent plan: cross
+        # join + bit_count, no banding). missed/extra must be 0.
+        docs = _docs(s, d)
+        sigs = docs.select(F.col("doc_id").alias("id"), dedup.simhash64("text").alias("sig"))
+        a, b = sigs.alias("a"), sigs.alias("b")
+        direct = (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+                dedup.hamming64(F.col("a.sig"), F.col("b.sig")).alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+            .select("a_id", "b_id")
+        )
+        bucketed = dedup.simhash_near_dups(docs, max_hamming=3).select("a_id", "b_id")
+        missed = direct.join(bucketed, ["a_id", "b_id"], "left_anti").count()
+        extra = bucketed.join(direct, ["a_id", "b_id"], "left_anti").count()
+        has_pairs = 1 if direct.limit(1).count() else 0
+        return s.createDataFrame(
+            [(missed, extra, has_pairs)], "missed long, extra long, has_pairs int"
+        )
+
+    q["simhash_complete"] = _simhash_complete
 
     # --- similarity search ---
     def _qvec(s, d):
@@ -296,6 +328,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     q["ann_lsh_top10"] = _ann_lsh  # rows-only: approximate
+
+    def _ann_lsh_sound(s, d):
+        # one-sided oracle for the approximate path: the LSH probe may
+        # MISS true neighbors (recall < 1 is the documented trade), but
+        # every (vec_id, cosine) it returns must appear in the exact
+        # brute-force ranking with the same cosine — k rows, 0 violations.
+        lsh = _ann_lsh(s, d).select("vec_id", F.col("cosine").alias("lsh_cos"))
+        e = _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        exact = e.select(
+            "vec_id",
+            F.round(ann.cosine(F.col("embedding"), ann._lit_vec([float(x) for x in _qvec(s, d)])), 6).alias("cos"),
+        )
+        joined = lsh.join(exact, "vec_id", "left")
+        n_rows = joined.count()
+        violations = joined.filter(
+            F.col("cos").isNull() | (F.abs(F.col("cos") - F.col("lsh_cos")) > 1e-9)
+        ).count()
+        return s.createDataFrame([(n_rows, violations)], "n_rows long, violations long")
+
+    q["ann_lsh_sound"] = _ann_lsh_sound
     q["embedding_norms"] = lambda s, d: _emb(s, d).select(
         "vec_id",
         F.round(ann.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("l2"),
@@ -438,6 +490,22 @@ ORDER BY sum(CASE WHEN term = 'data' THEN c ELSE -c END) DESC, doc_id LIMIT 10
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),
         "dedup_kept_ids": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "minhash_near_dups": f"""
+WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents),
+ne AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+""",
+        "simhash_complete": (
+            "SELECT CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS extra, CAST(1 AS INTEGER) AS has_pairs"
+        ),
+        "ann_lsh_sound": (
+            "SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS violations"
+        ),
         "jaccard_consecutive": f"""
 WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -194,15 +194,24 @@ def main() -> None:
             search(spark, wh_hi, q["query"], k=q["k"], prune=True).collect()
             pruned.append(time.time() - t0)
         # pruning-effectiveness evidence (blocks decoded vs total) on the
-        # stopword-heavy queries WAND exists for
+        # shapes that exercise each planner path: single stopword (tau
+        # from top_wands), stopword disjunction (probe + impact prefix),
+        # negation (df-aware tau + a-posteriori verify)
         from lsearch_spark.query import search_with_stats
 
         prune_stats = {}
-        for label, q in [("the", "the"), ("of_and", "of and")]:
+        for label, q in [
+            ("the", "the"),
+            ("of_and", "of and"),
+            ("the_neg_biology", "the -biology"),
+            ("physics_neg_the", "physics -the"),
+        ]:
             _, info = search_with_stats(spark, wh_hi, q, k=10, prune=True)
             prune_stats[label] = {
                 "blocks_decoded": info["blocks_decoded"],
                 "blocks_total": info["blocks_total"],
+                "verified": bool(info.get("prune_verified")),
+                "fallback": bool(info.get("prune_fallback")),
             }
     finally:
         spark.stop()
@@ -259,15 +268,25 @@ shuffle.partitions = 2x cores.
 | BM25 top-10 p50 | {p50_pruned * 1000:.0f} ms | block-max pruned (driver-side WAND), warm |
 | BM25 top-10 p95 | {p95_pruned * 1000:.0f} ms | block-max pruned (driver-side WAND), warm |
 | WAND blocks decoded, query "the" | {prune_stats['the']['blocks_decoded']} of {prune_stats['the']['blocks_total']} | exact top-10 |
-| WAND blocks decoded, query "of and" | {prune_stats['of_and']['blocks_decoded']} of {prune_stats['of_and']['blocks_total']} | exact top-10 |
+| blocks decoded, "of and" (probe + impact prefix) | {prune_stats['of_and']['blocks_decoded']} of {prune_stats['of_and']['blocks_total']} | exact top-10 |
+| blocks decoded, "the -biology" (pruned negation) | {prune_stats['the_neg_biology']['blocks_decoded']} of {prune_stats['the_neg_biology']['blocks_total']} | exact, verified={prune_stats['the_neg_biology']['verified']} |
+| blocks decoded, "physics -the" | {prune_stats['physics_neg_the']['blocks_decoded']} of {prune_stats['physics_neg_the']['blocks_total']} | exact top-10 |
 
 
-WAND note: single-strong-term queries prune to ~k blocks (exactness
-proof in query.py). Disjunctive multi-stopword queries ("of and") keep
-every block BY DESIGN: any one term's best doc alone may reach the
-top-k, so no sound per-term threshold exists without doc-level
-iteration (MaxScore-style essential/non-essential splitting is the
-known next step; it needs a candidate join, i.e. a second job).
+Pruning note: single-strong-term queries prune to ~k blocks (exactness
+proof in query.py). Disjunctive multi-stopword queries ("of and") are
+served from IMPACT-ORDERED copies of the hot terms' postings with a
+probe-refined tau (one extra small job); the decoded fraction is then
+bounded by the per-POSTING wand distribution — the information-
+theoretic floor for score-threshold pruning with per-term bounds —
+rather than by saturated per-128-doc block maxima (which a PERFECT tau
+only cuts ~30%, measured). Negated queries prune the positive side
+with a df-aware deeper tau and an a-posteriori verification (fallback
+to exhaustive on shortfall, rate recorded in query_metrics);
+"-<90%-df stopword>" shapes stay exhaustive by design (k_eff would
+exceed the stored top_wands depth, and nearly every candidate needs
+the membership check anyway — the doc_ids-only decode of the excluded
+term is the scale-optimal exact plan absent a doc-keyed bitmap).
 
 Per-stage build walls (seconds, best run):
 

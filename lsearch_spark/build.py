@@ -190,10 +190,11 @@ STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats", "impact"]
 
 # per-term summary depth: top-K_TOP block maxima stored in term_block_stats
 # (bounds the deepest tau the planner can form: plain top-k needs k, a
-# negated query needs ~k/(1 - df_neg/n) — e.g. a negated 88%-df term at
-# k=10 needs depth ~100). 128 doubles = 1KB per term. Folded into the
-# stage fingerprint: changing it changes produced bytes.
-K_TOP = 128
+# negated query needs ~(k + 4*sqrt(k) + 4)/(1 - df_neg/n) witnesses so
+# the anti-join survives binomial noise — a negated 88%-df term at k=10
+# needs depth ~220). 256 doubles = 2KB per term. Folded into the stage
+# fingerprint: changing it changes produced bytes.
+K_TOP = 256
 
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
@@ -866,7 +867,14 @@ def build_index(
         # ~10-row files). At cluster scale raise n_buckets so a bucket
         # stays ~file-sized, or add a second repartition key here.
         blocks = blocks.repartition(n_buckets, "bucket")
-        catalog.write_table(spark, blocks, wh.root, "postings", partition_by=["bucket"])
+        # sorted-by-term files + 8MB row groups: the query side's isin(term)
+        # and block_max_wand predicates then SKIP row groups (a single
+        # default 128MB group per file made every per-term scan read the
+        # whole bucket's blobs — measured 0.4s for a 4-block query)
+        catalog.write_table(
+            spark, blocks, wh.root, "postings", partition_by=["bucket"],
+            sort_by=["term", "salt", "block_id"], row_group_bytes=8 << 20,
+        )
         n_blocks = obs.get["n_rows"]
         per_bucket = []
         if catalog.iceberg_catalog(spark) is not None:
@@ -958,7 +966,13 @@ def build_index(
                 spark, flat, hot_terms, wand_avgdl, block_size, n_salts, n_buckets
             )
             imp, obs = _observed(imp, "impact")
-            catalog.write_table(spark, imp, wh.root, "impact_postings", partition_by=["bucket"])
+            # 4MB row groups + (term, salt, block_id) order: the pruned
+            # path reads a tiny wand-prefix, so skip granularity matters
+            # even more than for the doc-ordered blocks
+            catalog.write_table(
+                spark, imp, wh.root, "impact_postings", partition_by=["bucket"],
+                sort_by=["term", "salt", "block_id"], row_group_bytes=4 << 20,
+            )
             n_iblocks = int(obs.get["n_rows"])
         finish("impact", t0, [(-1, n_iblocks, None)])
 
@@ -1089,7 +1103,11 @@ def append_index(
         .mapInArrow(_make_block_mapper(block_size, wand_avgdl), BLOCK_SCHEMA)
         .repartition(n_buckets, "bucket")
     )
-    new_blocks.write.mode("overwrite").partitionBy("bucket").parquet(segp("postings"))
+    (
+        new_blocks.sortWithinPartitions("term", "salt", "block_id")
+        .write.mode("overwrite").option("parquet.block.size", 8 << 20)
+        .partitionBy("bucket").parquet(segp("postings"))
+    )
     seg_blocks = spark.read.parquet(segp("postings"))
 
     # ---- stage: segment impact blocks for COVERED terms only ----
@@ -1103,7 +1121,11 @@ def append_index(
             salt_base=salt_base,
         )
         imp, iobs = _observed(imp, f"append{append_no}_impact")
-        imp.write.mode("overwrite").partitionBy("bucket").parquet(segp("impact_postings"))
+        (
+            imp.sortWithinPartitions("term", "salt", "block_id")
+            .write.mode("overwrite").option("parquet.block.size", 4 << 20)
+            .partitionBy("bucket").parquet(segp("impact_postings"))
+        )
         if not int(iobs.get["n_rows"]):
             # 0-row partitioned write leaves a file-less dir Spark can't read
             fsio.remove(segp("impact_postings"), recursive=True)

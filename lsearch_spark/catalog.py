@@ -58,12 +58,23 @@ def write_table(
     wh_root: str,
     name: str,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    row_group_bytes: int | None = None,
 ) -> str:
-    """Replace-write a table; returns the identifier/path written."""
+    """Replace-write a table; returns the identifier/path written.
+
+    sort_by + row_group_bytes control parquet ROW-GROUP SKIPPING: sorting
+    within files clusters a filter column's values so row-group min/max
+    stats become selective, and smaller row groups make the skip
+    granularity useful (a default 128MB group is one-per-file here, so
+    nothing can skip). The query side's term/block_max_wand pushdown
+    relies on this for the posting tables."""
     cat = iceberg_catalog(spark)
     if cat is not None:
         ident = _ident(cat, wh_root, name)
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {cat}.{ident.split('.')[1]}")
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         w = df.writeTo(ident)
         if partition_by:
             from pyspark.sql import functions as F
@@ -72,7 +83,11 @@ def write_table(
         w.createOrReplace()
         return ident
     path = os.path.join(wh_root, name)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("overwrite")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", int(row_group_bytes))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -76,7 +76,7 @@ from pyspark.sql import functions as F
 from . import B, K1
 from . import catalog
 from .build import Warehouse
-from .codec import decode_ids_signed, decode_positions_flat, u64_to_i64_order, varint_decode
+from .codec import decode_ids_signed, decode_positions_flat, u64_to_i64_order, varint_decode, xxhash64
 from .oracle import parse_query
 from .tokenize import py_tokenize
 
@@ -165,13 +165,14 @@ def invalidate_cache(root: str | None = None) -> None:
 
 
 def _term_buckets(spark: SparkSession, st: dict, terms: list[str]) -> dict[str, int]:
-    """xxhash64 bucket per term, via one tiny JVM job; memoized."""
+    """xxhash64 bucket per term, computed DRIVER-SIDE with the pure-Python
+    XXH64 twin (codec.xxhash64, fuzz-verified byte-compatible with the
+    JVM) — round 2 paid one Spark job per cold query just for this hash."""
     missing = [t for t in terms if t not in st["buckets"]]
     if missing:
         n_buckets = int(st["cfg"]["n_buckets"])
-        df = spark.createDataFrame([(t,) for t in missing], "term string")
-        rows = df.select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")).collect()
-        st["buckets"].update({r["term"]: r["b"] for r in rows})
+        for t in missing:
+            st["buckets"][t] = xxhash64(t) % n_buckets  # == Spark pmod
     return {t: st["buckets"][t] for t in terms}
 
 
@@ -274,7 +275,9 @@ def _score_decoded(decoded: DataFrame, idf_map: dict[str, float], avgdl: float) 
 def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
     if not neg:
         return None
-    return _decode_blocks_ids_only(_postings_for(spark, wh, st, neg)).distinct()
+    # no distinct(): LEFT ANTI is set-semantics already — deduping a
+    # stopword's half-million ids would add a full shuffle for nothing
+    return _decode_blocks_ids_only(_postings_for(spark, wh, st, neg))
 
 
 def _agg_topk(scored: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
@@ -366,20 +369,29 @@ def _impact_terms(spark, st: dict, wh: Warehouse) -> set[str]:
 
 
 def _probe_tau(spark, st: dict, hot_live: list[str], idf_map: dict[str, float],
-               avgdl: float, k: int, blocks_per_salt: int = 4) -> float:
-    """Refine tau with ONE small extra job: decode the top blocks_per_salt
-    impact blocks per (term, salt) of the hot query terms, aggregate the
-    partial BM25 sums per doc, take the k-th best. Every partial sum is
-    achieved by a real doc (missing terms/blocks only lower it), so the
-    k-th best partial is a valid lower bound on the true k-th best score
-    — far tighter than the single-term bound for multi-stopword queries
-    (measured at 600k docs, "of and": probe tau 0.2005 vs single-term
-    0.1530, true k-th 0.2029). This is the candidate pass of MaxScore,
-    expressed as a prefix scan of the impact lists."""
+               avgdl: float, k: int, target_postings: int = 8192) -> float:
+    """Refine tau with ONE small extra job: decode the top ~target_postings
+    impact postings per hot query term, aggregate the partial BM25 sums
+    per doc, take the k-th best. Every partial sum is achieved by a real
+    doc (missing terms/blocks only lower it), so the k-th best partial is
+    a valid lower bound on the true k-th best score — far tighter than
+    the single-term bound for multi-stopword queries (measured at 600k
+    docs, "of and": probe tau 0.2005 vs single-term 0.1530, true k-th
+    0.2029). This is the candidate pass of MaxScore, expressed as a
+    prefix scan of the impact lists.
+
+    Depth matters: the refined tau comes from docs present in SEVERAL
+    terms' prefixes, and for independent-ish term frequencies that
+    overlap grows with prefix_depth^2 / n_docs — a 2k prefix measured
+    only ~8 overlapping docs at 600k (tau collapsed to the single-term
+    bound) while 8k yields ~10x more."""
+    block_size = int(st["cfg"].get("block_size") or 128)
+    n_salts = max(1, int(st["cfg"].get("n_salts") or 1))
+    per_salt = max(4, -(-target_postings // (block_size * n_salts)))
     probe = st["impact_rel"].filter(
         F.col("bucket").isin(sorted({st["buckets"][t] for t in hot_live}))
         & F.col("term").isin(hot_live)
-        & (F.col("block_id") < blocks_per_salt)
+        & (F.col("block_id") < per_salt)
     )
     scored = _score_decoded(_decode_blocks(probe), {t: idf_map[t] for t in hot_live}, avgdl)
     rows = (
@@ -449,52 +461,69 @@ def search(
         if neg:
             # excluded docs can knock out up to sum(df_neg)/n of tau's
             # witnesses; ask for proportionally deeper top_wands so ~k
-            # survive. Beyond the stored depth (K_TOP) -> no pruning
-            # (e.g. "-the": nearly every witness would be excluded).
+            # survive DESPITE binomial noise (margin 4*sqrt(k)+4 puts the
+            # shortfall probability well under 1%; a bare k/(1-rate) was
+            # measured to fall back ~25% of the time). Beyond the stored
+            # depth (K_TOP) -> no pruning (e.g. "-the": nearly every
+            # witness would be excluded anyway).
             neg_rate = min(0.98, sum(dfs.get(t) or 0 for t in neg) / max(n_docs, 1))
-            k_eff = math.ceil((k + 2) / (1.0 - neg_rate))
+            k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / (1.0 - neg_rate))
         thetas, tau = _wand_thetas(live, idf_map, bstats, k_eff, ratio)
         if thetas is not None:
             ub_corr = max(1.0, ratio)
             imp = _impact_terms(spark, st, wh)
             hot_live = [t for t in live if t in imp]
             cold_live = [t for t in live if t not in imp]
-            # probe gate: multi-term query whose single-term tau leaves
-            # some hot term essentially unpruned (even its K_TOP-th best
-            # block survives) — the one extra tiny job then pays for
-            # itself by orders of magnitude on the main scan
+            ub = {t: idf_map[t] * bstats[t]["ub_wand"] * ub_corr for t in live}
+            # probe gate: (a) the single-term tau leaves some hot term
+            # essentially unpruned (even its K_TOP-th best block survives)
+            # AND (b) at most two terms carry the upper-bound mass — with
+            # >=3 balanced hot terms NO tau can prune (theta_t =
+            # (tau - UB_others)/idf_t stays below every block max because
+            # UB_others alone approaches any achievable tau), so the probe
+            # job would be pure overhead (measured +0.5s on 3-term queries)
             weak = any(
                 t in imp
                 and bstats[t]["n_blocks"] > 2 * len(bstats[t]["top_wands"])
                 and thetas[t] <= bstats[t]["top_wands"][-1]
                 for t in live
             )
-            if weak and len(live) > 1 and hot_live:
+            ubs_sorted = sorted(ub.values(), reverse=True)
+            two_term_shaped = sum(ubs_sorted[2:]) <= 0.15 * (sum(ubs_sorted[:2]) or 1.0)
+            if weak and two_term_shaped and len(live) > 1 and hot_live:
                 tau2 = _probe_tau(spark, st, hot_live, idf_map, avgdl, k_eff)
                 if tau2 > tau:
                     tau = tau2
-                    ub = {t: idf_map[t] * bstats[t]["ub_wand"] * ub_corr for t in live}
                     thetas = _thetas_for_tau(live, idf_map, ub, sum(ub.values()), tau, ub_corr)
-            # routed scan: hot terms read a tau-prefix of their
-            # impact-ordered copy, cold terms the doc_id-ordered blocks
-            sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
-            parts = []
-            if cold_live:
-                bks = sorted({st["buckets"][t] for t in cold_live})
-                parts.append(
-                    st["postings_rel"]
-                    .filter(F.col("bucket").isin(bks) & _block_filter(cold_live, thetas))
-                    .select(*sel)
-                )
-            if hot_live:
-                bks = sorted({st["buckets"][t] for t in hot_live})
-                parts.append(
-                    st["impact_rel"]
-                    .filter(F.col("bucket").isin(bks) & _block_filter(hot_live, thetas))
-                    .select(*sel)
-                )
-            blocks = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-            pruned = True
+            # futility check: a term with theta_t <= 0 provably keeps ALL
+            # its blocks (>=3 balanced hot terms always land here —
+            # UB_others alone reaches any achievable tau). If such terms
+            # cover most of the candidate blocks, the plain exhaustive
+            # scan is strictly cheaper than the filtered/routed plan
+            # (no filter evaluation, no union, no impact read).
+            unprunable = sum(bstats[t]["n_blocks"] for t in live if thetas[t] <= 0)
+            tot = sum(bstats[t]["n_blocks"] for t in live)
+            if unprunable < 0.6 * tot:
+                # routed scan: hot terms read a tau-prefix of their
+                # impact-ordered copy, cold terms the doc_id-ordered blocks
+                sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
+                parts = []
+                if cold_live:
+                    bks = sorted({st["buckets"][t] for t in cold_live})
+                    parts.append(
+                        st["postings_rel"]
+                        .filter(F.col("bucket").isin(bks) & _block_filter(cold_live, thetas))
+                        .select(*sel)
+                    )
+                if hot_live:
+                    bks = sorted({st["buckets"][t] for t in hot_live})
+                    parts.append(
+                        st["impact_rel"]
+                        .filter(F.col("bucket").isin(bks) & _block_filter(hot_live, thetas))
+                        .select(*sel)
+                    )
+                blocks = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+                pruned = True
     if _stats is not None:
         _stats["tau"] = None if tau == float("-inf") else tau
         from pyspark.sql import Observation
@@ -542,9 +571,11 @@ def search(
         if len(rows) == k and float(rows[-1]["score"]) >= tau:
             if _stats is not None:
                 _stats["prune_verified"] = True
-            topk = (
-                spark.createDataFrame([(int(r["doc_id"]), float(r["score"])) for r in rows], RESULT_SCHEMA)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
+            # rows are already (score DESC, doc_id ASC); a LocalRelation
+            # preserves insertion order on collect, and re-sorting 10 rows
+            # through orderBy would cost a range-partitioning sampling job
+            topk = spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows], RESULT_SCHEMA
             )
         else:
             blocks = _postings_for(spark, wh, st, live)
@@ -706,6 +737,51 @@ def search_with_stats(
     return rows, info
 
 
+def batch_search_with_stats(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    queries: dict[str, str] | list[str],
+    k: int = 10,
+    mode: str = "or",
+) -> tuple[list, dict]:
+    """batch_search, instrumented: ONE job for every query, plus one
+    query_metrics row per batch query (shared blocks/wall — the batch
+    amortizes the scan, so per-query attribution is the batch total,
+    flagged by the 'batch:' prefix). Returns (rows, stats)."""
+    from pyspark.sql import Observation
+
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    items = list(queries.items()) if isinstance(queries, dict) else [(f"q{i}", q) for i, q in enumerate(queries)]
+    obs = Observation(f"batch_{uuid.uuid4().hex[:12]}")
+    out = batch_search(spark, wh, dict(items), k=k, mode=mode)
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+    t0 = time.time()
+    rows = out.collect()
+    wall = (time.time() - t0) * 1000.0
+    per_q: dict[str, int] = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    info = {"n_queries": len(items), "rows_out": int(obs.get["rows_out"] or 0), "wall_ms": wall}
+    for qid, q in items:
+        _write_query_metrics(
+            wh,
+            {
+                "query": f"batch:{qid}:{q}",
+                "terms": parse_query(q)[0],
+                "k": k,
+                "mode": mode,
+                "prune": False,
+                "tau": None,
+                "blocks_total": None,
+                "blocks_decoded": None,
+                "postings_decoded": None,
+                "rows_returned": per_q.get(str(qid), 0),
+                "wall_ms": wall,
+            },
+        )
+    return rows, info
+
+
 def plan_summary(
     spark: SparkSession,
     warehouse: str | Warehouse,
@@ -794,10 +870,17 @@ def _decode_blocks_with_positions(blocks: DataFrame) -> DataFrame:
 def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, k: int = 10) -> DataFrame:
     """Exact-phrase BM25 top-k over the positional index, in two phases:
 
-    Phase 1 (cheap): doc_ids-only decode of every phrase term's blocks
-    (positions blobs never read — parquet column pruning), then a
-    rarest-term-first LEFT SEMI chain intersects to candidate docs and
-    the distinct (term, salt, block_id) keys of blocks holding them.
+    Phase 1 (cheap): the RAREST term's blocks are ids-decoded first (the
+    candidate universe is bounded by its df); every OTHER term's block
+    set is then RANGE-PRUNED before any ids blob is decoded — within a
+    (term, salt), blocks hold sorted disjoint doc_id ranges, so a block
+    can contain a candidate only if [min_doc_id, max_doc_id] intersects
+    the candidate set (a broadcast range semi-join on block METADATA).
+    "the data" therefore decodes only the "the" blocks whose range holds
+    a "data" doc, not all of "the". Surviving blocks are ids-decoded
+    (positions never read — parquet column pruning), a rarest-first LEFT
+    SEMI chain intersects to candidate docs, and the distinct
+    (term, salt, block_id) keys of blocks holding them feed phase 2.
 
     Phase 2: positional decode of ONLY those blocks; adjacency is checked
     JVM-side by folding position arrays (cand = positions(t0);
@@ -805,11 +888,17 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
     |cand| (overlapping occurrences counted). Scored as a single BM25
     'term' whose df = number of phrase-matching docs.
 
-    No driver-side materialization at any k: the matches relation is
-    localCheckpoint'ed on the executors (round 1 collected it to the
-    driver). Returns DataFrame(doc_id, score, phrase_tf) ordered
-    (score DESC, doc_id ASC), limited to k.
+    No driver-side materialization at any k, and no localCheckpoint
+    (an executor loss would kill the query on a real cluster): the two
+    cut points — rare-term ids and the matches relation — materialize
+    as warehouse scratch parquet, so recomputation-on-failure restarts
+    from durable storage. Returns DataFrame(doc_id, score, phrase_tf)
+    ordered (score DESC, doc_id ASC), limited to k.
     """
+    import os as _os
+
+    from . import fsio
+
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
     terms = py_tokenize(phrase)
@@ -824,42 +913,65 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
     if any(t not in dfs for t in uniq):
         return empty  # a phrase containing an absent term matches nothing
     order = sorted(uniq, key=lambda t: (dfs[t], t))  # rarest term first
+    rare, others = order[0], order[1:]
+    scratch = _os.path.join(wh.root, "_scratch", f"phrase_{uuid.uuid4().hex[:12]}")
 
-    blocks = _postings_for(spark, wh, st, uniq)
-    ids = _decode_blocks_ids_prov(blocks).cache()
-    try:
-        cand = ids.filter(F.col("term") == order[0]).select("doc_id")
-        for t in order[1:]:
-            cand = cand.join(ids.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_semi")
-        keys = ids.join(cand, "doc_id", "left_semi").select("term", "salt", "block_id").distinct()
-        # keys is small (blocks containing candidates); AQE broadcasts it
-        # locally and falls back to a shuffle join at extreme scale
-        full = _decode_blocks_with_positions(blocks.join(keys, ["term", "salt", "block_id"]))
+    # ---- phase 1a: rare-term ids (with block provenance), durable ----
+    ids_rare = _decode_blocks_ids_prov(_postings_for(spark, wh, st, [rare]))
+    ids_rare.write.mode("overwrite").parquet(scratch + "_rare")
+    ids_rare = spark.read.parquet(scratch + "_rare")
+    cand = ids_rare.select("doc_id").distinct()
 
-        # one join per UNIQUE term, rarest-first; duplicate phrase terms
-        # reuse the same positions column
-        joined = None
-        colof: dict[str, str] = {}
-        for j, t in enumerate(order):
-            colof[t] = f"pos_u{j}"
-            side = full.filter(F.col("term") == t).select(
-                "doc_id",
-                F.col("positions").alias(colof[t]),
-                *([F.col("doc_len")] if j == 0 else []),
+    # ---- phase 1b: range-prune + ids-decode the other terms ----
+    if others:
+        oblocks = _postings_for(spark, wh, st, others)
+        if dfs[rare] <= 200_000:
+            # block-range semi-join on metadata only; the broadcast side
+            # is bounded by the rarest df (gate above — beyond it the
+            # nested-loop probe would cost more than the decode it saves)
+            oblocks = oblocks.join(
+                F.broadcast(cand),
+                (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
+                "left_semi",
             )
-            joined = side if joined is None else joined.join(side, "doc_id")
-        candpos = F.col(colof[terms[0]])
-        for t in terms[1:]:
-            candpos = F.array_intersect(F.transform(candpos, lambda x: x + 1), F.col(colof[t]))
-        matches = (
-            joined.withColumn("phrase_tf", F.size(candpos))
-            .filter(F.col("phrase_tf") > 0)
-            .select("doc_id", "doc_len", "phrase_tf")
-            .localCheckpoint(eager=True)  # materialized on executors, not the driver
+        ids_others = _decode_blocks_ids_prov(oblocks)
+        ids_all = ids_rare.unionByName(ids_others)
+    else:
+        ids_all = ids_rare
+    for t in others:
+        cand = cand.join(ids_all.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_semi")
+    keys = ids_all.join(cand, "doc_id", "left_semi").select("term", "salt", "block_id").distinct()
+    # keys is small (blocks containing candidates); AQE broadcasts it
+    # locally and falls back to a shuffle join at extreme scale
+    blocks = _postings_for(spark, wh, st, uniq)
+    full = _decode_blocks_with_positions(blocks.join(keys, ["term", "salt", "block_id"]))
+
+    # one join per UNIQUE term, rarest-first; duplicate phrase terms
+    # reuse the same positions column
+    joined = None
+    colof: dict[str, str] = {}
+    for j, t in enumerate(order):
+        colof[t] = f"pos_u{j}"
+        side = full.filter(F.col("term") == t).select(
+            "doc_id",
+            F.col("positions").alias(colof[t]),
+            *([F.col("doc_len")] if j == 0 else []),
         )
-    finally:
-        ids.unpersist()
-    df_count = matches.count()  # phrase df for idf (cheap: checkpointed)
+        joined = side if joined is None else joined.join(side, "doc_id")
+    candpos = F.col(colof[terms[0]])
+    for t in terms[1:]:
+        candpos = F.array_intersect(F.transform(candpos, lambda x: x + 1), F.col(colof[t]))
+    matches = (
+        joined.withColumn("phrase_tf", F.size(candpos))
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "doc_len", "phrase_tf")
+    )
+    # durable cut: the tiny matches relation is the only thing the
+    # returned plan reads; the rare-ids scratch is dead after this write
+    matches.write.mode("overwrite").parquet(scratch + "_matches")
+    matches = spark.read.parquet(scratch + "_matches")
+    fsio.remove(scratch + "_rare", recursive=True)
+    df_count = matches.count()  # phrase df for idf (cheap: materialized)
     if df_count == 0:
         return empty
     idf = _idf(n_docs, df_count)

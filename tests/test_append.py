@@ -140,3 +140,46 @@ def test_kernel_edge_corpora_reconstruct(spark, tmp_path, texts):
             got_pos.setdefault(r["term"], {})[int(d)] = [int(x) for x in pos]
     assert got == pyidx.postings
     assert got_pos == pyidx.positions
+
+
+def test_append_crash_atomicity_and_idempotency(spark, tmp_path):
+    """A crashed append (segment staged, config NOT flipped) must leave the
+    read path byte-identical; retrying the append must overwrite the
+    orphan segment and produce exactly-once results."""
+    from lsearch_spark import catalog
+    from lsearch_spark.query import search
+
+    root = str(tmp_path / "wh")
+    build_index(
+        spark, pages_df(spark, 60), root,
+        n_buckets=2, block_size=16, hot_df=32, n_salts=2, input_id="a60", from_html=True,
+    )
+    wh = Warehouse(root)
+    before = search(spark, wh, "biology", k=5).collect()
+    n_docs_before = wh.corpus_stats(spark)["n_docs"]
+
+    # simulate a crash: stage a partial segment WITHOUT the config flip
+    import os
+    seg = os.path.join(root, "_segments", "seg1")
+    os.makedirs(os.path.join(seg, "docs"), exist_ok=True)
+    spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("u").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"), F.lit("en").alias("lang"),
+        F.array(F.lit("ghost")).alias("tokens"),
+    ).write.mode("overwrite").parquet(os.path.join(seg, "docs"))
+
+    # uncommitted segment is invisible on every read path
+    assert wh.corpus_stats(spark)["n_docs"] == n_docs_before
+    assert catalog.read_table(spark, root, "docs").filter("url = 'u'").count() == 0
+    from lsearch_spark.query import invalidate_cache
+    invalidate_cache(root)
+    assert [tuple(r) for r in search(spark, wh, "biology", k=5).collect()] == [tuple(r) for r in before]
+    assert search(spark, wh, "ghost", k=5).count() == 0
+
+    # the retried append overwrites the orphan and commits exactly once
+    append_index(spark, _pages_b(spark), wh, from_html=False)
+    assert (wh.read_manifest("config") or {})["n_appends"] == 1
+    assert search(spark, wh, "ghost", k=5).count() == 0
+    assert catalog.read_table(spark, root, "docs").filter("url = 'u'").count() == 0
+    n_after = wh.corpus_stats(spark)["n_docs"]
+    assert n_after == n_docs_before + N_B + 6  # the appended pages, once

@@ -60,3 +60,25 @@ def test_positions_roundtrip(pos_sets):
 def test_delta_roundtrip():
     arr = np.array([5, 6, 100, 2**40], dtype=np.uint64)
     assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+def test_xxhash64_matches_jvm(spark):
+    """The pure-Python XXH64 twin must be byte-compatible with Spark's
+    xxhash64 (seed 42, UTF-8 bytes) — the query planner computes term
+    buckets driver-side with it."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from lsearch_spark.codec import xxhash64
+
+    rng = random.Random(7)
+    cases = ["", "a", "the", "É", "中文", "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 33]
+    cases += ["".join(rng.choices(string.printable, k=rng.randint(0, 80))) for _ in range(120)]
+    cases += ["é中" * rng.randint(1, 20) for _ in range(10)]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select("s", F.xxhash64("s").alias("h"), F.pmod(F.xxhash64("s"), F.lit(8)).alias("b")).collect()
+    for r in rows:
+        assert xxhash64(r["s"]) == r["h"], r["s"]
+        assert xxhash64(r["s"]) % 8 == r["b"], r["s"]

@@ -217,8 +217,8 @@ def test_impact_blocks_reconstruct(spark, wh, pyidx):
         assert all(a >= b - 1e-12 for a, b in zip(maxes, maxes[1:])), (key, maxes)
 
 
-N_BIG = 2500  # large enough that stopwords have >64 blocks each (the
-# probe gate and the df-aware negation k_eff need real top_wands depth)
+N_BIG = 5000  # large enough that stopwords have >250 blocks each (the
+# probe gate and the df-aware negation k_eff ~ 221 need real top_wands depth)
 
 
 @pytest.fixture(scope="module")
@@ -226,7 +226,7 @@ def whbig(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("whbig"))
     return build_index(
         spark, pages_df(spark, N_BIG), root,
-        n_buckets=4, block_size=16, hot_df=64, n_salts=4, run_id="tbig", input_id="corpus2500",
+        n_buckets=4, block_size=16, hot_df=64, n_salts=4, run_id="tbig", input_id="corpus5000",
     )
 
 
@@ -262,3 +262,46 @@ def test_multi_stopword_probe_prunes(spark, whbig, pyidx_big):
     rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
     assert_rank_identical(rows_p, want)
     assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
+
+
+def test_phrase_range_prune_sound_and_effective(spark, whbig, pyidx_big):
+    """Phrase phase-1 block-range pruning: the candidate range semi-join
+    over block METADATA must (a) keep every hot-term block that contains
+    a candidate doc — soundness — and (b) keep strictly fewer blocks
+    than exist for a hot term paired with a rare one."""
+    from lsearch_spark import query as Q
+    from lsearch_spark.query import phrase_search
+
+    st = Q._wh_state(spark, Warehouse(whbig.root))
+    rare, hot = "tiebreak", "the"  # df=2 (edge docs) vs ~every doc
+    cand = Q._decode_blocks_ids_only(Q._postings_for(spark, whbig, st, [rare])).distinct()
+    hot_blocks = Q._postings_for(spark, whbig, st, [hot])
+    kept = hot_blocks.join(
+        F.broadcast(cand),
+        (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
+        "left_semi",
+    )
+    n_total, n_kept = hot_blocks.count(), kept.count()
+    assert n_kept < n_total, (n_kept, n_total)
+    # soundness: ids decoded from KEPT blocks cover candidates-with-hot
+    kept_ids = {r["doc_id"] for r in Q._decode_blocks_ids_only(kept).collect()}
+    cand_ids = {r["doc_id"] for r in cand.collect()}
+    want = {d for d in cand_ids if d in pyidx_big.postings[hot]}
+    assert want <= kept_ids
+    # end-to-end: hot+rare phrases match the oracle through the pruned path
+    from lsearch_spark.oracle import phrase_topk
+
+    for phrase in ["tiebreak quantum", "the glacier", "glacier the"]:
+        want_rows = phrase_topk(pyidx_big, phrase, k=10)
+        got = phrase_search(spark, whbig, phrase, k=10).collect()
+        assert_rank_identical(got, [(d, s) for d, s in want_rows])
+
+
+def test_batch_search_with_stats(spark, wh, pyidx):
+    from lsearch_spark.query import batch_search_with_stats
+
+    rows, info = batch_search_with_stats(spark, wh, {"a": "biology", "b": "the"}, k=5)
+    assert info["n_queries"] == 2 and info["rows_out"] == len(rows) > 0
+    qm = spark.read.parquet(wh.path("query_metrics"))
+    assert qm.filter(F.col("query").startswith("batch:a:")).count() >= 1
+    assert qm.filter(F.col("query").startswith("batch:b:")).count() >= 1
