@@ -4,11 +4,14 @@ queries() covers SURVEY.md §2 operator inventory over the driver's
 testdata tables; every SQL-expressible operator has a DuckDB oracle in
 oracle_sql() (same column names, floats rounded identically on both
 sides). BM25 queries run the real engine (index build + compressed-
-block search + driver-side WAND; also batched and incremental-append
-variants) and are checked against a full BM25 reimplementation in ANSI
-SQL — 31 oracle-checked entries. The 5 rows-only entries are
-approximate / Spark-hash-specific / stubbed-codec by design
-(MinHash/SimHash/LSH top-k, multimodal fakes).
+block search + driver-side WAND with impact-ordered routing, probe-
+refined tau, and verified pruned negation; also batched and
+incremental-append variants) and are checked against a full BM25
+reimplementation in ANSI SQL — 36 oracle-checked entries, including a
+FULL all-pairs oracle for minhash near-dups, a pigeonhole-completeness
+oracle for simhash, and a soundness oracle for LSH ANN. The 4 rows-only
+entries are approximate / Spark-hash-specific / fake-codec by design
+(SimHash pair list, LSH top-k list, multimodal fakes).
 """
 
 from __future__ import annotations

@@ -14,21 +14,22 @@ Stages (each a checkpointable DataFrame job with a manifest + metrics):
                kernel (the (term, doc_id) grouping key lives inside one
                document row, so token occurrences are never shuffled)
   term_stats   flat -> term_stats(term, df, cf) from per-chunk counters
-  impact       flat -> impact-ordered copies (wand DESC) of hot terms'
-               postings, no positions: the pruned query path reads a
-               tau-threshold PREFIX of these (see _make_impact_mapper)
   blocks       flat -> GLOBAL MERGE: chunks shuffle once on (term, salt)
                (~1000x fewer rows than per-posting), the kernel
                merge-sorts each group by doc_id and emits compressed
                blocks(term, salt, block_id, min/max_doc_id, n_docs,
                doc_ids, tfs, doc_lens, positions, block_max_tf,
-               block_max/min_wand, bucket). Hot terms (df >= hot_df) are
-               salted at CHUNK granularity (pmod(xxhash64(chunk doc_ids),
-               n_salts)) so no single task owns a stopword's posting list
-               (AQE cannot split a hash-agg hot key; this is the one
-               manual physical-layout decision, SURVEY.md §4.1)
-  block_stats  postings meta -> term_block_stats (per-term top-32 block
-               maxima; drives the driver-side WAND plan)
+               block_max/min_wand, kind, bucket). Hot terms (df >=
+               hot_df) are salted at CHUNK granularity
+               (pmod(xxhash64(chunk doc_ids), n_salts)) so no single
+               task owns a stopword's posting list (AQE cannot split a
+               hash-agg hot key; this is the one manual physical-layout
+               decision, SURVEY.md §4.1). Hot groups ALSO emit an
+               impact-ordered positions-free copy (kind=1, see
+               _make_block_mapper) from the same shuffle — the pruned
+               query path reads a tau-threshold PREFIX of those.
+  block_stats  postings meta (kind=0) -> term_block_stats (per-term
+               top-K_TOP block maxima; drives the driver-side WAND plan)
 
 Scale notes (designed for 10^12 docs / 1000 executors, tested local):
   - ONE wide shuffle in the whole build: the posting-level
@@ -85,6 +86,10 @@ BLOCK_SCHEMA = StructType(
         StructField("block_max_tf", IntegerType()),
         StructField("block_max_wand", DoubleType()),
         StructField("block_min_wand", DoubleType()),
+        StructField("kind", IntegerType()),  # 0 = doc_id-ordered (with
+        # positions), 1 = impact-ordered copy (wand DESC across blocks,
+        # positions empty) — a Hive partition column, so each query path
+        # partition-prunes to its own layout
         StructField("bucket", IntegerType()),
     ]
 )
@@ -186,7 +191,7 @@ def read_docs(spark: SparkSession, wh: Warehouse) -> DataFrame:
     return d.withColumn("doc_len", F.size("tokens"))
 
 
-STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats", "impact"]
+STAGES = ["extract", "flat", "term_stats", "blocks", "block_stats"]
 
 # per-term summary depth: top-K_TOP block maxima stored in term_block_stats
 # (bounds the deepest tau the planner can form: plain top-k needs k, a
@@ -199,7 +204,7 @@ K_TOP = 256
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
 # served with a stale schema
-INDEX_FORMAT = 5  # v5: impact-ordered posting copies for hot terms
+INDEX_FORMAT = 6  # v6: impact copies live in postings under kind=1
 
 
 def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bool:
@@ -362,6 +367,19 @@ def _make_block_mapper(block_size: int, avgdl: float):
     Per-doc position streams are NEVER decoded: they were encoded once in
     the flat kernel and move into block order via one vectorized
     byte-gather. Per-block python work is two byte slices.
+
+    Groups flagged `want_impact` additionally emit a SECOND, positions-
+    free copy of their postings in IMPACT order (kind=1): postings sorted
+    by wand DESC across blocks (block_max_wand non-increasing with
+    block_id), re-sorted by doc_id WITHIN each block for delta-gap
+    encoding. Doc_id-ordered 128-doc stopword blocks have saturated
+    maxima (measured: even a PERFECT tau prunes ~30% of "of and"); in
+    impact order the same threshold filter keeps only the true wand
+    prefix ("of": 15 blocks vs 4355). Emitting both layouts from the one
+    merge shuffle costs ~no extra IO — the group's postings are already
+    decoded here (a separate impact stage measured +3.4s/600k at
+    local[16] for a redundant scan + shuffle). This is the classic
+    impact-ordered index (JASS / anytime ranking) as a parquet partition.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -471,6 +489,11 @@ def _make_block_mapper(block_size: int, avgdl: float):
         start_terms = tcol.take(pa.array(ch_s[gstarts])).to_pylist()
         terms_per_block = [start_terms[g] for g in gi_rep]
 
+        names = [
+            "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
+            "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand",
+            "block_min_wand", "kind", "bucket",
+        ]
         yield pa.record_batch(
             [
                 pa.array(terms_per_block, pa.string()),
@@ -486,185 +509,75 @@ def _make_block_mapper(block_size: int, avgdl: float):
                 pa.array(bmax_tf.astype(np.int32), pa.int32()),
                 pa.array(bmax_wand.astype(np.float64), pa.float64()),
                 pa.array(bmin_wand.astype(np.float64), pa.float64()),
+                pa.array(np.zeros(total, dtype=np.int32), pa.int32()),
                 pa.array(bucket[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
             ],
-            names=[
-                "term", "salt", "block_id", "min_doc_id", "max_doc_id", "n_docs",
-                "doc_ids", "tfs", "doc_lens", "positions", "block_max_tf", "block_max_wand",
-                "block_min_wand", "bucket",
-            ],
+            names=names,
         )
 
-    return mapper
-
-
-IMPACT_SCHEMA = StructType(
-    [
-        StructField("term", StringType()),
-        StructField("salt", IntegerType()),
-        StructField("block_id", IntegerType()),
-        StructField("n_docs", IntegerType()),
-        StructField("doc_ids", BinaryType()),
-        StructField("tfs", BinaryType()),
-        StructField("doc_lens", BinaryType()),
-        StructField("block_max_wand", DoubleType()),
-        StructField("block_min_wand", DoubleType()),
-        StructField("bucket", IntegerType()),
-    ]
-)
-
-
-def _make_impact_mapper(block_size: int, avgdl: float):
-    """IMPACT-ORDERED blocks for hot terms (no positions): within each
-    (term, salt) group, postings are sorted by wand DESC (tie: doc_id ASC)
-    and chunked into blocks, so block_max_wand is non-increasing across
-    block_ids — ANY score threshold keeps only a PREFIX of each term's
-    impact list. This is what makes disjunctive stopword queries prunable:
-    doc_id-ordered 128-doc blocks of a stopword all contain some high-tf
-    doc (measured: block maxima concentrate in [1.93, 2.07] while per-
-    posting wand spreads [1.0, 2.06]), so their maxima saturate and even a
-    PERFECT tau prunes ~30%; impact order prunes down to the true
-    posting-level bound (#postings with wand >= theta). The design is the
-    classic impact-ordered index (JASS / anytime ranking), re-expressed as
-    a parquet table whose block_max_wand filter Catalyst pushes into the
-    scan.
-
-    Within each block, postings are re-sorted by doc_id for delta-gap
-    varint encoding — the same decode kernel serves both layouts.
-    """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def mapper(batches):
-        tbls = [pa.Table.from_batches([rb]) for rb in batches]
-        if not tbls:
+        # ---- impact emission (kind=1) for flagged groups ----
+        if "want_impact" not in tbl.column_names:
             return
-        tbl = pa.concat_tables(tbls)
-        nrows = tbl.num_rows
-        if not nrows:
+        want = tbl["want_impact"].to_numpy(zero_copy_only=False).astype(bool)
+        imask = want[chunk_of]
+        if not imask.any():
             return
-        idx = pc.sort_indices(tbl, sort_keys=[("term", "ascending"), ("salt", "ascending")])
-        tbl = tbl.take(idx).combine_chunks()
-        tcol = tbl["term"].combine_chunks()
-        salt = tbl["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nd = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if nrows > 1:
-            neq_t = pc.not_equal(tcol.slice(1), tcol.slice(0, nrows - 1)).to_numpy(zero_copy_only=False)
-            gid_chunk = np.concatenate(([0], np.cumsum(neq_t | (salt[1:] != salt[:-1]))))
-        else:
-            gid_chunk = np.zeros(1, dtype=np.int64)
-
-        def raw(col):
-            c = tbl[col].combine_chunks()
-            bufs = c.buffers()
-            offs = np.frombuffer(bufs[1], dtype=np.int32)[c.offset : c.offset + len(c) + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-            return data, offs
-
-        ids_data, ids_offs = raw("doc_ids")
-        gaps = varint_decode(ids_data[ids_offs[0] : ids_offs[-1]].tobytes())
-        n_post = int(nd.sum())
-        post_offs = np.concatenate(([0], np.cumsum(nd)))
-        starts = post_offs[:-1]
-        csum = np.cumsum(gaps, dtype=np.uint64)
-        base = csum[starts] - gaps[starts]
-        ids = u64_to_i64_order(csum - np.repeat(base, nd))
-        tfs_data, t_offs = raw("tfs")
-        tfs = varint_decode(tfs_data[t_offs[0] : t_offs[-1]].tobytes()).astype(np.int64)
-        dls_data, d_offs = raw("doc_lens")
-        dls = varint_decode(dls_data[d_offs[0] : d_offs[-1]].tobytes()).astype(np.int64)
-
-        denom = tfs + K1 * (1.0 - B + B * dls / max(avgdl, 1e-9))
-        wand = tfs * (K1 + 1.0) / denom
-
-        # ---- impact order: (group, wand DESC, doc_id ASC) ----
-        chunk_of = np.repeat(np.arange(nrows), nd)
-        gid_p = gid_chunk[chunk_of]
-        order = np.lexsort((ids, -wand, gid_p))
-        ids_s, tfs_s, dls_s, wand_s = ids[order], tfs[order], dls[order], wand[order]
-        g_s, ch_s = gid_p[order], chunk_of[order]
-
-        gchg = np.flatnonzero(g_s[1:] != g_s[:-1]) if n_post > 1 else np.array([], dtype=np.int64)
-        gstarts = np.concatenate(([0], gchg + 1))
-        gends = np.concatenate((gstarts[1:], [n_post]))
-        glens = gends - gstarts
-        nblk = -(-glens // block_size)
-        total = int(nblk.sum())
-        gi_rep = np.repeat(np.arange(len(gstarts)), nblk)
-        first_blk = np.concatenate(([0], np.cumsum(nblk[:-1]))) if len(nblk) else np.array([], dtype=np.int64)
-        bidx = np.arange(total, dtype=np.int64) - np.repeat(first_blk, nblk)
-        bstarts = gstarts[gi_rep] + bidx * block_size
-        bends = np.minimum(bstarts + block_size, gends[gi_rep])
-
-        # block maxima BEFORE intra-block reorder (max is order-invariant)
-        bmax_wand = np.maximum.reduceat(wand_s, bstarts) if total else np.array([], dtype=np.float64)
-        bmin_wand = np.minimum.reduceat(wand_s, bstarts) if total else np.array([], dtype=np.float64)
-
-        # ---- re-sort WITHIN each block by doc_id for delta encoding ----
-        blk_of = np.repeat(np.arange(total), bends - bstarts) if total else np.array([], dtype=np.int64)
-        order2 = np.lexsort((ids_s, blk_of))
-        ids_b_order, tfs_b_order, dls_b_order = ids_s[order2], tfs_s[order2], dls_s[order2]
-
-        ids_u = i64_to_u64_order(ids_b_order)
-        id_gaps = ids_u.copy()
-        if n_post > 1:
-            id_gaps[1:] = ids_u[1:] - ids_u[:-1]
-        id_gaps[bstarts] = ids_u[bstarts]
-        ids_enc = varint_encode_segmented(id_gaps, bstarts, bends)
-        tfs_enc = varint_encode_segmented(tfs_b_order.astype(np.uint64), bstarts, bends)
-        dls_enc = varint_encode_segmented(dls_b_order.astype(np.uint64), bstarts, bends)
-
-        start_terms = tcol.take(pa.array(ch_s[gstarts])).to_pylist()
-        terms_per_block = [start_terms[g] for g in gi_rep]
-
+        iids, itfs, idls = ids[imask], tfs[imask], dls[imask]
+        ig, ich = gid_p[imask], chunk_of[imask]
+        n_ip = len(iids)
+        iw = itfs * (K1 + 1.0) / (itfs + K1 * (1.0 - B + B * idls / max(avgdl, 1e-9)))
+        iorder = np.lexsort((iids, -iw, ig))
+        ids_s2, tfs_s2, dls_s2, w_s2 = iids[iorder], itfs[iorder], idls[iorder], iw[iorder]
+        g_s2, ch_s2 = ig[iorder], ich[iorder]
+        gchg2 = np.flatnonzero(g_s2[1:] != g_s2[:-1]) if n_ip > 1 else np.array([], dtype=np.int64)
+        gst2 = np.concatenate(([0], gchg2 + 1))
+        gen2 = np.concatenate((gst2[1:], [n_ip]))
+        nblk2 = -(-(gen2 - gst2) // block_size)
+        tot2 = int(nblk2.sum())
+        gi2 = np.repeat(np.arange(len(gst2)), nblk2)
+        first2 = np.concatenate(([0], np.cumsum(nblk2[:-1]))) if len(nblk2) else np.array([], dtype=np.int64)
+        bidx2 = np.arange(tot2, dtype=np.int64) - np.repeat(first2, nblk2)
+        bst2 = gst2[gi2] + bidx2 * block_size
+        ben2 = np.minimum(bst2 + block_size, gen2[gi2])
+        # block maxima BEFORE the intra-block reorder (max is order-free)
+        bmax2 = np.maximum.reduceat(w_s2, bst2) if tot2 else np.array([], np.float64)
+        bmin2 = np.minimum.reduceat(w_s2, bst2) if tot2 else np.array([], np.float64)
+        bmaxtf2 = np.maximum.reduceat(tfs_s2, bst2) if tot2 else np.array([], np.int64)
+        # re-sort WITHIN each block by doc_id for delta-gap encoding
+        blk_of2 = np.repeat(np.arange(tot2), ben2 - bst2) if tot2 else np.array([], np.int64)
+        o2 = np.lexsort((ids_s2, blk_of2))
+        ids_b2, tfs_b2, dls_b2 = ids_s2[o2], tfs_s2[o2], dls_s2[o2]
+        ids_u2 = i64_to_u64_order(ids_b2)
+        gaps2 = ids_u2.copy()
+        if n_ip > 1:
+            gaps2[1:] = ids_u2[1:] - ids_u2[:-1]
+        gaps2[bst2] = ids_u2[bst2]
+        enc_ids = varint_encode_segmented(gaps2, bst2, ben2)
+        enc_tfs = varint_encode_segmented(tfs_b2.astype(np.uint64), bst2, ben2)
+        enc_dls = varint_encode_segmented(dls_b2.astype(np.uint64), bst2, ben2)
+        st_terms2 = tcol.take(pa.array(ch_s2[gst2])).to_pylist()
         yield pa.record_batch(
             [
-                pa.array(terms_per_block, pa.string()),
-                pa.array(salt[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
-                pa.array(bidx.astype(np.int32), pa.int32()),
-                pa.array((bends - bstarts).astype(np.int32), pa.int32()),
-                pa.array(ids_enc, pa.binary()),
-                pa.array(tfs_enc, pa.binary()),
-                pa.array(dls_enc, pa.binary()),
-                pa.array(bmax_wand.astype(np.float64), pa.float64()),
-                pa.array(bmin_wand.astype(np.float64), pa.float64()),
-                pa.array(bucket[ch_s[bstarts]].astype(np.int32) if total else [], pa.int32()),
+                pa.array([st_terms2[g] for g in gi2], pa.string()),
+                pa.array(salt[ch_s2[bst2]].astype(np.int32) if tot2 else [], pa.int32()),
+                pa.array(bidx2.astype(np.int32), pa.int32()),
+                pa.array(ids_b2[bst2] if tot2 else [], pa.int64()),
+                pa.array(ids_b2[ben2 - 1] if tot2 else [], pa.int64()),
+                pa.array((ben2 - bst2).astype(np.int32), pa.int32()),
+                pa.array(enc_ids, pa.binary()),
+                pa.array(enc_tfs, pa.binary()),
+                pa.array(enc_dls, pa.binary()),
+                pa.array([b""] * tot2, pa.binary()),
+                pa.array(bmaxtf2.astype(np.int32), pa.int32()),
+                pa.array(bmax2.astype(np.float64), pa.float64()),
+                pa.array(bmin2.astype(np.float64), pa.float64()),
+                pa.array(np.ones(tot2, dtype=np.int32), pa.int32()),
+                pa.array(bucket[ch_s2[bst2]].astype(np.int32) if tot2 else [], pa.int32()),
             ],
-            names=[
-                "term", "salt", "block_id", "n_docs", "doc_ids", "tfs", "doc_lens",
-                "block_max_wand", "block_min_wand", "bucket",
-            ],
+            names=names,
         )
 
     return mapper
-
-
-def _impact_blocks_for(
-    spark, chunks: DataFrame, hot_terms: DataFrame, wand_avgdl: float,
-    block_size: int, n_salts: int, n_buckets: int, salt_base: int = 0,
-) -> DataFrame:
-    """Impact-ordered blocks for the hot-term subset of `chunks` (flat
-    partial posting chunks). Shared by build and append; positions /
-    pos_lens columns are never selected, so the flat scan is column-pruned
-    down to ids/tfs/doc_lens blobs (~30% of the bytes)."""
-    salted = (
-        chunks.join(F.broadcast(hot_terms.select("term")), "term")
-        .withColumn(
-            "salt",
-            (F.lit(salt_base) + F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts))).cast("int"),
-        )
-        .select("term", "salt", "bucket", "n_docs", "doc_ids", "tfs", "doc_lens")
-    )
-    nparts = max(
-        spark.sparkContext.defaultParallelism * 2,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
-    return (
-        salted.repartition(nparts, F.col("term"), F.col("salt"))
-        .mapInArrow(_make_impact_mapper(block_size, wand_avgdl), IMPACT_SCHEMA)
-        .repartition(n_buckets, "bucket")
-    )
 
 
 def build_index(
@@ -847,7 +760,13 @@ def build_index(
                     F.col("is_hot"), F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts)).cast("int")
                 ).otherwise(F.lit(0)),
             )
+            # hot groups also emit the impact-ordered copy (kind=1); the
+            # impact_terms table below records this coverage for queries
+            .withColumn("want_impact", F.coalesce(F.col("is_hot"), F.lit(False)))
             .drop("is_hot")
+        )
+        catalog.write_table(
+            spark, hot_terms.select("term").coalesce(1), wh.root, "impact_terms"
         )
         # co-locate each (term, salt) group; the kernel itself sorts the
         # partition columnar-side (no JVM sortWithinPartitions — see
@@ -870,9 +789,11 @@ def build_index(
         # sorted-by-term files + 8MB row groups: the query side's isin(term)
         # and block_max_wand predicates then SKIP row groups (a single
         # default 128MB group per file made every per-term scan read the
-        # whole bucket's blobs — measured 0.4s for a 4-block query)
+        # whole bucket's blobs — measured 0.4s for a 4-block query).
+        # kind leads the partitioning, so each query path reads only its
+        # own layout's directories.
         catalog.write_table(
-            spark, blocks, wh.root, "postings", partition_by=["bucket"],
+            spark, blocks, wh.root, "postings", partition_by=["kind", "bucket"],
             sort_by=["term", "salt", "block_id"], row_group_bytes=8 << 20,
         )
         n_blocks = obs.get["n_rows"]
@@ -884,7 +805,7 @@ def build_index(
             # pyarrow metadata walk — no Spark job)
             import pyarrow.parquet as _pq
 
-            for bdir in fsio.list_glob(os.path.join(wh.path("postings"), "bucket=*")):
+            for bdir in fsio.list_glob(os.path.join(wh.path("postings"), "kind=0", "bucket=*")):
                 bid = int(os.path.basename(bdir).split("=")[1])
                 files = fsio.file_sizes(os.path.join(bdir, "*.parquet"))
                 n = sum(_pq.ParquetFile(f).metadata.num_rows for f, _ in files)
@@ -893,9 +814,11 @@ def build_index(
             # remote warehouse: one cheap partition-column-only agg
             counts = {
                 int(r["bucket"]): int(r["n"])
-                for r in spark.read.parquet(wh.path("postings")).groupBy("bucket").agg(F.count("*").alias("n")).collect()
+                for r in spark.read.parquet(wh.path("postings"))
+                .filter(F.col("kind") == 0)
+                .groupBy("bucket").agg(F.count("*").alias("n")).collect()
             }
-            for bdir in fsio.list_glob(os.path.join(wh.path("postings"), "bucket=*")):
+            for bdir in fsio.list_glob(os.path.join(wh.path("postings"), "kind=0", "bucket=*")):
                 bid = int(bdir.rsplit("=", 1)[1])
                 nb = sum(sz for _, sz in fsio.file_sizes(bdir + "/*.parquet"))
                 per_bucket.append((bid, counts.get(bid, 0), nb))
@@ -920,7 +843,9 @@ def build_index(
     # touches the compressed binary blobs.
     if stage_runs("block_stats"):
         t0 = time.time()
-        pb = catalog.read_table(spark, wh.root, "postings")
+        # kind=0 only: the impact copies hold the SAME postings, so
+        # counting both kinds would double every df-derived stat
+        pb = catalog.read_table(spark, wh.root, "postings").filter(F.col("kind") == 0)
         partial = pb.groupBy("term", "salt").agg(
             F.count("*").cast("long").alias("nb"),
             F.sum("n_docs").cast("long").alias("np"),
@@ -938,43 +863,6 @@ def build_index(
         bs, obs = _observed(bs, "block_stats")
         catalog.write_table(spark, bs, wh.root, "term_block_stats")
         finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
-
-    # ---- stage: impact-ordered copies for hot terms --------------------------
-    # A SECOND, positions-free copy of each hot term's postings, blocked in
-    # wand-DESC order (see _make_impact_mapper): the pruned query path
-    # reads a tau-threshold PREFIX of these instead of the saturated
-    # doc_id-ordered blocks. Storage cost: ids+tfs+doc_lens of hot-term
-    # postings only (~88% of postings but ~30% of block bytes — positions
-    # dominate), a standard trade for top-k pruning at scale. The
-    # impact_terms table records exactly which terms have complete impact
-    # coverage; appends extend coverage for THESE terms only (a term
-    # crossing hot_df later gets impact coverage on the next full build).
-    if stage_runs("impact"):
-        t0 = time.time()
-        cfg_now = wh.read_manifest("config") or {}
-        wand_avgdl = float(cfg_now.get("wand_avgdl") or wh.corpus_stats(spark)["avgdl"])
-        hot_terms = (
-            catalog.read_table(spark, wh.root, "term_stats")
-            .filter(F.col("df") >= hot_df)
-            .select("term")
-        )
-        n_hot = hot_terms.count()  # tiny: bounded by |vocab|
-        catalog.write_table(spark, hot_terms.coalesce(1), wh.root, "impact_terms")
-        n_iblocks = 0
-        if n_hot:
-            imp = _impact_blocks_for(
-                spark, flat, hot_terms, wand_avgdl, block_size, n_salts, n_buckets
-            )
-            imp, obs = _observed(imp, "impact")
-            # 4MB row groups + (term, salt, block_id) order: the pruned
-            # path reads a tiny wand-prefix, so skip granularity matters
-            # even more than for the doc-ordered blocks
-            catalog.write_table(
-                spark, imp, wh.root, "impact_postings", partition_by=["bucket"],
-                sort_by=["term", "salt", "block_id"], row_group_bytes=4 << 20,
-            )
-            n_iblocks = int(obs.get["n_rows"])
-        finish("impact", t0, [(-1, n_iblocks, None)])
 
     from .query import invalidate_cache  # lazy: query imports Warehouse from here
 
@@ -1083,7 +971,17 @@ def append_index(
     mts = spark.read.parquet(segp("term_stats"))
 
     # ---- stage: segment blocks in the fresh salt range (original basis) ----
+    # impact coverage (kind=1 emission) follows the build-time
+    # impact_terms list, NOT the merged hot set: a term crossing hot_df
+    # after the build stays regular-routed until the next full rebuild
+    # (the query side consults impact_terms, so this is always correct).
     hot_terms = mts.filter(F.col("df") >= hot_df).select("term", F.lit(True).alias("is_hot"))
+    try:
+        covered = catalog.read_table(spark, wh.root, "impact_terms").select(
+            "term", F.lit(True).alias("_cov")
+        )
+    except Exception:
+        covered = None  # pre-v6 warehouse: no impact coverage
     salted = (
         seg_chunks.join(F.broadcast(hot_terms), "term", "left")
         .withColumn(
@@ -1094,6 +992,12 @@ def append_index(
         .withColumn("salt", F.col("salt").cast("int"))
         .drop("is_hot")
     )
+    if covered is not None:
+        salted = (
+            salted.join(F.broadcast(covered), "term", "left")
+            .withColumn("want_impact", F.coalesce(F.col("_cov"), F.lit(False)))
+            .drop("_cov")
+        )
     nparts = max(
         spark.sparkContext.defaultParallelism * 2,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
@@ -1106,33 +1010,14 @@ def append_index(
     (
         new_blocks.sortWithinPartitions("term", "salt", "block_id")
         .write.mode("overwrite").option("parquet.block.size", 8 << 20)
-        .partitionBy("bucket").parquet(segp("postings"))
+        .partitionBy("kind", "bucket").parquet(segp("postings"))
     )
     seg_blocks = spark.read.parquet(segp("postings"))
 
-    # ---- stage: segment impact blocks for COVERED terms only ----
-    # coverage = the build-time impact_terms list; a term crossing hot_df
-    # after the build stays regular-routed until the next full rebuild
-    # (the query side consults impact_terms, so this is always correct)
-    if fsio.exists(wh.path("impact_terms")):
-        imp_terms = catalog.read_table(spark, wh.root, "impact_terms")
-        imp = _impact_blocks_for(
-            spark, seg_chunks, imp_terms, wand_avgdl, block_size, n_salts, n_buckets,
-            salt_base=salt_base,
-        )
-        imp, iobs = _observed(imp, f"append{append_no}_impact")
-        (
-            imp.sortWithinPartitions("term", "salt", "block_id")
-            .write.mode("overwrite").option("parquet.block.size", 4 << 20)
-            .partitionBy("bucket").parquet(segp("impact_postings"))
-        )
-        if not int(iobs.get["n_rows"]):
-            # 0-row partitioned write leaves a file-less dir Spark can't read
-            fsio.remove(segp("impact_postings"), recursive=True)
-
     # ---- stage: merged term_block_stats = old + new-blocks-only agg ----
     new_bs = (
-        seg_blocks.groupBy("term", "salt")
+        seg_blocks.filter(F.col("kind") == 0)
+        .groupBy("term", "salt")
         .agg(
             F.count("*").cast("long").alias("nb"),
             F.sum("n_docs").cast("long").alias("np"),
@@ -1180,12 +1065,9 @@ def append_index(
     if ice:
         catalog.append_table(spark, seg_docs, wh.root, "docs")
         catalog.append_table(spark, seg_chunks, wh.root, "postings_flat")
-        catalog.append_table(spark, seg_blocks, wh.root, "postings", partition_by=["bucket"])
-        if fsio.exists(segp("impact_postings")):
-            catalog.append_table(
-                spark, spark.read.parquet(segp("impact_postings")), wh.root,
-                "impact_postings", partition_by=["bucket"],
-            )
+        catalog.append_table(
+            spark, seg_blocks, wh.root, "postings", partition_by=["kind", "bucket"]
+        )
         catalog.write_table(spark, spark.read.parquet(segp("term_stats")), wh.root, "term_stats")
         catalog.write_table(
             spark, spark.read.parquet(segp("term_block_stats")), wh.root, "term_block_stats"

@@ -125,7 +125,7 @@ def append_table(
 # A segment dir without the table (old-layout warehouses, or tables a
 # segment didn't touch) is simply skipped, so pre-segment warehouses
 # keep reading their in-place tables unchanged.
-_APPEND_TABLES = {"docs", "postings_flat", "postings", "impact_postings"}
+_APPEND_TABLES = {"docs", "postings_flat", "postings"}
 _REPLACED_TABLES = {"term_stats", "term_block_stats", "corpus_stats"}
 
 

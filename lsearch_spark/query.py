@@ -105,9 +105,13 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
             # only queried terms, never the full term_stats table)
             "bstats": {},  # per-term block summary (ub_wand/full_min_wand/
             # n_blocks) for driver-side WAND pruning
-            "postings_rel": catalog.read_table(spark, wh.root, "postings"),  # keeps
-            # the FileIndex warm across queries (re-listing bucket dirs per
-            # query is pure metadata overhead)
+            # keeps the FileIndex warm across queries (re-listing bucket
+            # dirs per query is pure metadata overhead). kind=0 = the
+            # doc_id-ordered positional blocks; the impact copies (kind=1)
+            # live in the same table behind partition pruning.
+            "postings_rel": catalog.read_table(spark, wh.root, "postings").filter(
+                F.col("kind") == 0
+            ),
             "term_stats_rel": catalog.read_table(spark, wh.root, "term_stats"),
             "block_stats_rel": None,  # lazy: absent on pre-round-2 indexes
             "impact_terms": None,  # lazy: terms with impact-ordered copies
@@ -364,7 +368,9 @@ def _impact_terms(spark, st: dict, wh: Warehouse) -> set[str]:
         except Exception:
             st["impact_terms"] = set()
         if st["impact_terms"]:
-            st["impact_rel"] = catalog.read_table(spark, wh.root, "impact_postings")
+            st["impact_rel"] = catalog.read_table(spark, wh.root, "postings").filter(
+                F.col("kind") == 1
+            )
     return st["impact_terms"]
 
 

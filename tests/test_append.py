@@ -76,7 +76,7 @@ def test_append_block_keys_unique(spark, awh):
 
     dup = (
         catalog.read_table(spark, awh.root, "postings")
-        .groupBy("term", "salt", "block_id")
+        .groupBy("kind", "term", "salt", "block_id")
         .count()
         .filter(F.col("count") > 1)
         .count()
@@ -130,7 +130,7 @@ def test_kernel_edge_corpora_reconstruct(spark, tmp_path, texts):
     pyidx = py_build([(i + 1, t) for i, t in enumerate(texts)])
     got: dict[str, dict[int, int]] = {}
     got_pos: dict[str, dict[int, list[int]]] = {}
-    for r in spark.read.parquet(wh.path("postings")).collect():
+    for r in spark.read.parquet(wh.path("postings")).filter("kind = 0").collect():
         ids = codec.decode_ids_signed(bytes(r["doc_ids"]))
         tfs = codec.varint_decode(bytes(r["tfs"]))
         poss = codec.decode_positions(bytes(r["positions"]), tfs)

@@ -59,7 +59,7 @@ def test_docs_and_stats_match_oracle(spark, wh, pyidx):
 
 def test_blocks_reconstruct_postings(spark, wh, pyidx):
     """Decode every compressed block -> exact (term, doc, tf, positions)."""
-    rows = spark.read.parquet(wh.path("postings")).collect()
+    rows = spark.read.parquet(wh.path("postings")).filter("kind = 0").collect()
     got: dict[str, dict[int, int]] = {}
     got_pos: dict[str, dict[int, list[int]]] = {}
     for r in rows:
@@ -82,7 +82,7 @@ def test_blocks_reconstruct_postings(spark, wh, pyidx):
 def test_hot_terms_are_salted(spark, wh):
     hot = (
         spark.read.parquet(wh.path("postings"))
-        .filter(F.col("term") == "the")
+        .filter((F.col("term") == "the") & (F.col("kind") == 0))
         .select("salt")
         .distinct()
         .count()
@@ -195,7 +195,7 @@ def test_impact_blocks_reconstruct(spark, wh, pyidx):
 
     imp_terms = {r["term"] for r in catalog.read_table(spark, wh.root, "impact_terms").collect()}
     assert {"the", "and", "of"} <= imp_terms  # stopwords are hot at hot_df=64
-    rows = catalog.read_table(spark, wh.root, "impact_postings").collect()
+    rows = catalog.read_table(spark, wh.root, "postings").filter("kind = 1").collect()
     got: dict[str, dict[int, int]] = {}
     seq: dict[tuple, list] = {}
     for r in rows:

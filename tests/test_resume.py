@@ -42,9 +42,8 @@ def test_metrics_logged_per_stage(spark, tmp_path):
     build_index(spark, pages_df(spark, 50), root, n_buckets=2, block_size=16, input_id="c50")
     metrics = spark.read.parquet(os.path.join(root, "build_metrics"))
     stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
-    assert stages == {"extract", "flat", "term_stats", "blocks", "block_stats", "impact"}
-    # impact legitimately logs 0 rows when no term reaches hot_df
-    assert metrics.filter((F.col("n_rows") <= 0) & (F.col("stage") != "impact")).count() == 0
+    assert stages == {"extract", "flat", "term_stats", "blocks", "block_stats"}
+    assert metrics.filter(F.col("n_rows") <= 0).count() == 0
     assert metrics.filter(F.col("input_lineage") != "c50").count() == 0
 
 
