@@ -580,6 +580,30 @@ def _make_block_mapper(block_size: int, avgdl: float):
     return mapper
 
 
+def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
+    """Partition count for the (term, salt) merge shuffle.
+
+    Two constraints, take the max:
+    - >= 8 tasks per core: hot (term, salt) groups do ~2x work (impact
+      copy emission) and land wherever the hash puts them — many small
+      waves smooth that skew (measured at 600k docs/local[16]: 37
+      partitions -> blocks 14.6s best-of-3, 128 partitions -> 6.3s).
+    - bounded per-task bytes: each task buffers its partition's chunk
+      blobs columnar-side before the merge; ~32MB compressed (~10x
+      decoded) keeps that well under executor task memory at any corpus
+      size. The flat table is already on disk here, so its size is free
+      driver-side metadata (no job).
+    """
+    par = spark.sparkContext.defaultParallelism
+    base = max(8 * par, int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    try:
+        d = flat_dir or wh.path("postings_flat")
+        flat_bytes = sum(sz for _, sz in fsio.file_sizes(os.path.join(d, "*.parquet")))
+    except Exception:
+        flat_bytes = 0
+    return max(base, int(flat_bytes // (32 << 20)))
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -593,9 +617,22 @@ def build_index(
     input_id: str = "default",
     resume: bool = True,
     from_html: bool = True,
+    merge_parts: int | None = None,
+    impact_copies: bool = True,
 ) -> Warehouse:
     """Build the full index under `warehouse`. Idempotent per (stage,
     input_id): completed stages are skipped on rerun (resume=True).
+
+    merge_parts pins the (term, salt) merge-shuffle partition count
+    (default: max(2*defaultParallelism, spark.sql.shuffle.partitions)).
+    Smaller partitions mean smaller per-task columnar buffers in the
+    block kernel — tune up on memory-constrained executors.
+
+    impact_copies=False skips the impact-ordered (kind=1) copies of hot
+    terms' postings: ~30% less postings storage and a faster build, at
+    the cost of disjunctive multi-stopword queries losing their pruned
+    path (the query planner consults impact_terms, so it degrades to the
+    still-exact doc_id-ordered plan automatically).
 
     pages must carry (url, warc_ts, html, text, lang) and optionally
     doc_id; without doc_id a stable xxhash64(url) id is assigned
@@ -603,7 +640,10 @@ def build_index(
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     fsio.mkdirs(wh.root)
-    cfg = {"n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df, "n_salts": n_salts, "k1": K1, "b": B}
+    cfg = {
+        "n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df,
+        "n_salts": n_salts, "k1": K1, "b": B, "impact_copies": impact_copies,
+    }
     # Resume correctness: stage manifests key on (input_id, config) — a
     # rerun with a different n_buckets/block_size/... must NOT skip stages
     # built under the old config (query-side bucket math would silently
@@ -762,11 +802,15 @@ def build_index(
             )
             # hot groups also emit the impact-ordered copy (kind=1); the
             # impact_terms table below records this coverage for queries
-            .withColumn("want_impact", F.coalesce(F.col("is_hot"), F.lit(False)))
+            .withColumn(
+                "want_impact",
+                F.coalesce(F.col("is_hot"), F.lit(False)) & F.lit(impact_copies),
+            )
             .drop("is_hot")
         )
+        covered_terms = hot_terms if impact_copies else hot_terms.limit(0)
         catalog.write_table(
-            spark, hot_terms.select("term").coalesce(1), wh.root, "impact_terms"
+            spark, covered_terms.select("term").coalesce(1), wh.root, "impact_terms"
         )
         # co-locate each (term, salt) group; the kernel itself sorts the
         # partition columnar-side (no JVM sortWithinPartitions — see
@@ -774,10 +818,7 @@ def build_index(
         # repartition(cols) is AQE-coalescible down to ~advisory-size
         # (64MB) partitions, which would cap the codec parallelism at a
         # handful of tasks regardless of cores.
-        nparts = max(
-            spark.sparkContext.defaultParallelism * 2,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        )
+        nparts = merge_parts or _merge_parts_default(spark, wh)
         pre = salted.repartition(nparts, F.col("term"), F.col("salt"))
         blocks = pre.mapInArrow(_make_block_mapper(block_size, avgdl), BLOCK_SCHEMA)
         blocks, obs = _observed(blocks, "blocks")
@@ -998,10 +1039,7 @@ def append_index(
             .withColumn("want_impact", F.coalesce(F.col("_cov"), F.lit(False)))
             .drop("_cov")
         )
-    nparts = max(
-        spark.sparkContext.defaultParallelism * 2,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    nparts = _merge_parts_default(spark, wh, flat_dir=segp("postings_flat"))
     new_blocks = (
         salted.repartition(nparts, F.col("term"), F.col("salt"))
         .mapInArrow(_make_block_mapper(block_size, wand_avgdl), BLOCK_SCHEMA)

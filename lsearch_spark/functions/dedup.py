@@ -81,6 +81,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, exact jaccard >= threshold).
 
@@ -93,7 +94,16 @@ def minhash_lsh_pairs(
     one bucket quadratic. Capped buckets are dropped before the join
     (docs that similar share many bands; at web scale set ~1000 and
     route the dropped buckets to exact dedup instead).
+
+    storage_level controls how the shared grams+signatures relation is
+    persisted between its 3 uses (banding + both sides of the verify
+    join). The default spills per-partition when memory is short; at
+    100 TB pass "DISK_ONLY" (or persist a scratch table yourself and
+    call this on that) so executor memory holds shuffle state, not a
+    corpus-sized cache competing with it.
     """
+    from pyspark import StorageLevel
+
     r = num_hashes // bands
     base = (
         df.select(
@@ -102,7 +112,7 @@ def minhash_lsh_pairs(
             minhash_signature(text_col, num_hashes, n).alias("sig"),
         )
         .filter(F.size("grams") > 0)
-        .cache()  # referenced 3x (banding + both sides of the verify join)
+        .persist(getattr(StorageLevel, storage_level))
     )
 
     banded = base.select(
