@@ -206,7 +206,12 @@ def main() -> None:
             ("the_neg_biology", "the -biology"),
             ("physics_neg_the", "physics -the"),
         ]:
-            _, info = search_with_stats(spark, wh_hi, q, k=10, prune=True)
+            # probe=True forces the tau-refinement job — the at-scale plan
+            # for disjunctive stopword shapes. The default probe="auto"
+            # skips it below ~4M candidate postings (this corpus), where
+            # the probe's fixed extra-job cost exceeds what it saves; the
+            # latency table above measures that default.
+            _, info = search_with_stats(spark, wh_hi, q, k=10, prune=True, probe=True)
             prune_stats[label] = {
                 "blocks_decoded": info["blocks_decoded"],
                 "blocks_total": info["blocks_total"],
@@ -276,7 +281,12 @@ shuffle.partitions = 2x cores.
 Pruning note: single-strong-term queries prune to ~k blocks (exactness
 proof in query.py). Disjunctive multi-stopword queries ("of and") are
 served from IMPACT-ORDERED copies of the hot terms' postings with a
-probe-refined tau (one extra small job); the decoded fraction is then
+probe-refined tau (one extra small job — forced here with probe=True
+to evidence the at-scale plan; the probe="auto" default skips the
+refinement job below ~4M candidate postings, where one exhaustive
+fused-kernel scan is cheaper than the extra scheduler round trip, and
+the latency table above measures that default); the decoded fraction
+under the probe is then
 bounded by the per-POSTING wand distribution — the information-
 theoretic floor for score-threshold pruning with per-term bounds —
 rather than by saturated per-128-doc block maxima (which a PERFECT tau

@@ -204,7 +204,7 @@ K_TOP = 256
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
 # served with a stale schema
-INDEX_FORMAT = 6  # v6: impact copies live in postings under kind=1
+INDEX_FORMAT = 7  # v7: term_block_stats carries per-term impact ladders
 
 
 def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bool:
@@ -580,6 +580,27 @@ def _make_block_mapper(block_size: int, avgdl: float):
     return mapper
 
 
+def _impact_ladders(postings: DataFrame) -> DataFrame:
+    """term -> impact_ladder: array of per-salt arrays, each
+    [n_impact_blocks, max_wand@block 0, @1, @2, @4, @8, ...].
+
+    Impact lists (kind=1) have non-increasing block_max_wand by
+    block_id, so maxima sampled at power-of-two block_ids let the query
+    planner bound blocks-kept-under-theta within 2x for ANY theta: the
+    first sampled value < theta sits at block_id 2^(j-1), and every
+    later block's max is <= it. Terms without impact copies get NULL
+    (the planner falls back to the sound top_wands estimate)."""
+    pi = postings.filter(F.col("kind") == 1)
+    po2 = F.col("block_id").bitwiseAND(F.col("block_id") - 1) == 0  # 0,1,2,4,...
+    per_salt = pi.groupBy("term", "salt").agg(
+        F.concat(
+            F.array(F.count("*").cast("double")),
+            F.sort_array(F.collect_list(F.when(po2, F.col("block_max_wand"))), asc=False),
+        ).alias("salt_ladder")
+    )
+    return per_salt.groupBy("term").agg(F.collect_list("salt_ladder").alias("impact_ladder"))
+
+
 def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
     """Partition count for the (term, salt) merge shuffle.
 
@@ -901,6 +922,14 @@ def build_index(
             )
             .withColumn("ub_wand", F.col("top_wands")[0])
         )
+        # impact ladder: per covered term, one entry per salt =
+        # [n_impact_blocks, then block_max_wand at block_ids 0,1,2,4,...]
+        # (powers of two — maxima are non-increasing across an impact
+        # list's blocks, so ~20 doubles bound, within 2x, how many blocks
+        # ANY theta keeps; the query planner costs the routed plan with
+        # this instead of guessing). The po2 filter runs on the meta
+        # scan, so no task ever collects a full block list.
+        bs = bs.join(_impact_ladders(catalog.read_table(spark, wh.root, "postings")), "term", "left")
         bs, obs = _observed(bs, "block_stats")
         catalog.write_table(spark, bs, wh.root, "term_block_stats")
         finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
@@ -1069,9 +1098,16 @@ def append_index(
         )
     )
     old_bs = catalog.read_table(spark, wh.root, "term_block_stats")
+    if "impact_ladder" not in old_bs.columns:  # pre-ladder warehouse
+        old_bs = old_bs.withColumn("impact_ladder", F.lit(None).cast("array<array<double>>"))
+    # segment impact blocks live in a FRESH salt range, so the ladder
+    # merge is pure concatenation of per-salt entries
+    new_lad = _impact_ladders(seg_blocks).withColumnRenamed("impact_ladder", "lad_new")
     empty_arr = F.array().cast("array<double>")
+    empty_lad = F.array().cast("array<array<double>>")
     merged_bs = (
         old_bs.join(new_bs, "term", "full_outer")
+        .join(new_lad, "term", "full_outer")
         .select(
             "term",
             (F.coalesce(F.col("n_blocks"), F.lit(0)) + F.coalesce(F.col("nb_new"), F.lit(0))).alias("n_blocks"),
@@ -1087,6 +1123,16 @@ def append_index(
                 1,
                 K_TOP,
             ).alias("top_wands"),
+            F.when(
+                F.col("impact_ladder").isNull() & F.col("lad_new").isNull(), F.lit(None)
+            )
+            .otherwise(
+                F.concat(
+                    F.coalesce(F.col("impact_ladder"), empty_lad),
+                    F.coalesce(F.col("lad_new"), empty_lad),
+                )
+            )
+            .alias("impact_ladder"),
         )
         .withColumn("ub_wand", F.col("top_wands")[0])
     )

@@ -81,9 +81,10 @@ from .oracle import parse_query
 from .tokenize import py_tokenize
 
 RESULT_SCHEMA = "doc_id long, score double"
-DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len int"
 DECODED_IDS_SCHEMA = "doc_id long"
 DECODED_IDS_PROV_SCHEMA = "term string, salt int, block_id int, doc_id long"
+PARTIAL_SCHEMA = "doc_id long, score double, hits int"
+SCORED_SCHEMA = "term string, doc_id long, tscore double"
 
 # per-warehouse session cache: config + corpus stats + memoized per-term
 # metadata (bucket, df, block summary) — repeated searches touch no
@@ -146,13 +147,20 @@ def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[
         return {}
     missing = [t for t in terms if t not in st["bstats"]]
     if missing:
-        rows = st["block_stats_rel"].filter(F.col("term").isin(missing)).collect()
+        rel = st["block_stats_rel"]
+        has_ladder = "impact_ladder" in rel.columns
+        rows = rel.filter(F.col("term").isin(missing)).collect()
         found = {
             r["term"]: {
                 "n_blocks": int(r["n_blocks"]),
                 "n_postings": int(r["n_postings"]),
                 "ub_wand": float(r["ub_wand"]),
                 "top_wands": [float(x) for x in r["top_wands"]],
+                "impact_ladder": (
+                    [[float(x) for x in lad] for lad in r["impact_ladder"]]
+                    if has_ladder and r["impact_ladder"] is not None
+                    else None
+                ),
             }
             for r in rows
         }
@@ -187,11 +195,25 @@ def _postings_for(spark, wh: Warehouse, st: dict, terms: list[str]) -> DataFrame
     return st["postings_rel"].filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
 
-def _decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Compressed blocks -> (term, doc_id, tf, doc_len), decoded with
-    whole-batch numpy passes: varint streams concatenate losslessly, so
-    ALL blocks in an Arrow batch decode in one call; per-block delta
-    resets are restored with a segmented cumsum (no per-block python)."""
+def _tf_dl_from_batch(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    tfs = varint_decode(b"".join(bytes(x) for x in pdf["tfs"])).astype(np.float64)
+    dls = varint_decode(b"".join(bytes(x) for x in pdf["doc_lens"])).astype(np.float64)
+    return tfs, dls
+
+
+def _decode_score_partials(blocks: DataFrame, idf_map: dict[str, float], avgdl: float) -> DataFrame:
+    """Fused decode + BM25 + per-batch aggregation: emits (doc_id, score,
+    hits) PARTIALS instead of per-posting rows. Scoring runs in the same
+    numpy pass that decoded the varints, the repeated term-string column
+    never crosses Arrow, and np.unique/bincount collapse each batch's
+    postings to its distinct docs before serialization — for multi-term
+    queries that is both fewer bytes out of Python and less Tungsten
+    hash-agg pressure (measured q6 'quantum neural spark' at 600k docs:
+    1.19M posting rows -> partial rows bounded by distinct docs/batch).
+    The JVM side finishes with groupBy(doc_id).sum — the same partial/
+    final split Spark's own aggregate would do, just with the map side
+    inside the decode kernel."""
+    ad = max(avgdl, 1e-9)
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,18 +221,41 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
                 continue
             nd = pdf["n_docs"].to_numpy().astype(np.int64)
             ids = _ids_from_batch(pdf, nd)
-            tfs = varint_decode(b"".join(bytes(x) for x in pdf["tfs"]))
-            dls = varint_decode(b"".join(bytes(x) for x in pdf["doc_lens"]))
+            tfs, dls = _tf_dl_from_batch(pdf)
+            idf = np.repeat(pdf["term"].map(idf_map).to_numpy(np.float64), nd)
+            tsc = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / ad))
+            u, inv = np.unique(ids, return_inverse=True)
             yield pd.DataFrame(
                 {
-                    "term": np.repeat(pdf["term"].to_numpy(), nd),
-                    "doc_id": ids,
-                    "tf": tfs.astype(np.int32),
-                    "doc_len": dls.astype(np.int32),
+                    "doc_id": u,
+                    "score": np.bincount(inv, weights=tsc),
+                    "hits": np.bincount(inv).astype(np.int32),
                 }
             )
 
-    return blocks.select("term", "n_docs", "doc_ids", "tfs", "doc_lens").mapInPandas(it, DECODED_SCHEMA)
+    return blocks.select("term", "n_docs", "doc_ids", "tfs", "doc_lens").mapInPandas(it, PARTIAL_SCHEMA)
+
+
+def _decode_score_terms(blocks: DataFrame, idf_map: dict[str, float], avgdl: float) -> DataFrame:
+    """Fused decode + BM25 keeping the term column: (term, doc_id,
+    tscore) per posting — for batch_search, whose per-query fan-out
+    joins on term. tf/doc_len stay inside the kernel."""
+    ad = max(avgdl, 1e-9)
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nd = pdf["n_docs"].to_numpy().astype(np.int64)
+            ids = _ids_from_batch(pdf, nd)
+            tfs, dls = _tf_dl_from_batch(pdf)
+            idf = np.repeat(pdf["term"].map(idf_map).to_numpy(np.float64), nd)
+            tsc = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / ad))
+            yield pd.DataFrame(
+                {"term": np.repeat(pdf["term"].to_numpy(), nd), "doc_id": ids, "tscore": tsc}
+            )
+
+    return blocks.select("term", "n_docs", "doc_ids", "tfs", "doc_lens").mapInPandas(it, SCORED_SCHEMA)
 
 
 def _ids_from_batch(pdf: pd.DataFrame, nd: np.ndarray) -> np.ndarray:
@@ -266,16 +311,6 @@ def _idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _score_decoded(decoded: DataFrame, idf_map: dict[str, float], avgdl: float) -> DataFrame:
-    """JVM-side BM25 per (term, doc): idf comes in as a tiny literal map."""
-    pairs = []
-    for t, v in idf_map.items():
-        pairs += [F.lit(t), F.lit(float(v))]
-    idf_col = F.create_map(*pairs)[F.col("term")] if pairs else F.lit(0.0)
-    denom = F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(max(avgdl, 1e-9)))
-    return decoded.withColumn("tscore", idf_col * F.col("tf") * F.lit(K1 + 1.0) / denom)
-
-
 def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
     if not neg:
         return None
@@ -284,9 +319,13 @@ def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
     return _decode_blocks_ids_only(_postings_for(spark, wh, st, neg))
 
 
-def _agg_topk(scored: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
+def _agg_topk(partials: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
+    """Final aggregation over (doc_id, score, hits) partials. hits sums
+    to the number of distinct query terms a doc matched (each (term,
+    doc) posting exists exactly once index-wide), so AND filtering works
+    on partials exactly as it did on per-posting rows."""
+    agg = partials.groupBy("doc_id").agg(
+        F.sum("score").alias("score"), F.sum("hits").alias("n_terms_hit")
     )
     if mode == "and":
         agg = agg.filter(F.col("n_terms_hit") == n_terms)
@@ -374,6 +413,45 @@ def _impact_terms(spark, st: dict, wh: Warehouse) -> set[str]:
     return st["impact_terms"]
 
 
+def _est_kept_blocks(bs: dict, theta: float, impact: bool) -> int:
+    """Upper bound on the blocks a per-term theta keeps.
+
+    Impact-routed terms use the stored ladder (per salt:
+    [n_blocks, block_max_wand at block_ids 0,1,2,4,...]): maxima are
+    non-increasing across an impact list, so the first sampled value
+    below theta at block_id 2^(j-1) proves every later block is cut —
+    a bound within 2x of truth for any theta. Cold terms fall back to
+    top_wands: when theta exceeds the K_TOP-th stored maximum, every
+    unstored block is provably cut, else unknown (all kept)."""
+    n = bs["n_blocks"]
+    if theta <= 0:
+        return n
+    if impact and bs.get("impact_ladder"):
+        tot = 0
+        for lad in bs["impact_ladder"]:
+            n_s, maxima = int(lad[0]), lad[1:]
+            kept = n_s
+            for j, m in enumerate(maxima):
+                if m < theta:
+                    kept = 0 if j == 0 else 2 ** (j - 1)
+                    break
+            tot += min(kept, n_s)
+        return min(tot, n)
+    tw = bs["top_wands"]
+    if tw and theta > tw[-1]:
+        return sum(1 for m in tw if m >= theta)
+    return n
+
+
+# Probe-worthiness floor for probe="auto": the probe is one extra Spark
+# job (~0.3s scheduler floor locally); the fused decode kernel sustains
+# ~2M postings/sec on 16 cores, so below ~4M candidate postings the
+# probe's fixed cost exceeds what the tighter tau can save. Above it
+# (any real corpus) the probe's savings grow with corpus size while its
+# cost stays one small job.
+_PROBE_MIN_POSTINGS = 4_000_000
+
+
 def _probe_tau(spark, st: dict, hot_live: list[str], idf_map: dict[str, float],
                avgdl: float, k: int, target_postings: int = 8192) -> float:
     """Refine tau with ONE small extra job: decode the top ~target_postings
@@ -399,9 +477,9 @@ def _probe_tau(spark, st: dict, hot_live: list[str], idf_map: dict[str, float],
         & F.col("term").isin(hot_live)
         & (F.col("block_id") < per_salt)
     )
-    scored = _score_decoded(_decode_blocks(probe), {t: idf_map[t] for t in hot_live}, avgdl)
     rows = (
-        scored.groupBy("doc_id").agg(F.sum("tscore").alias("s"))
+        _decode_score_partials(probe, {t: idf_map[t] for t in hot_live}, avgdl)
+        .groupBy("doc_id").agg(F.sum("score").alias("s"))
         .orderBy(F.desc("s")).limit(k).collect()
     )
     if len(rows) < k:
@@ -418,6 +496,7 @@ def search(
     mode: str = "or",
     prune: bool = True,
     with_url: bool = False,
+    probe: bool | str = "auto",
     _stats: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns DataFrame(doc_id, score[, url]) already ordered
@@ -429,6 +508,16 @@ def search(
     results are exact. It silently degrades to the exhaustive plan when
     not applicable (AND mode, negation, '~less' terms, k > 32 stored
     maxima, missing stats) — those can invalidate tau's k-doc witness set.
+
+    probe governs the tau-refinement job for disjunctive multi-stopword
+    shapes ("of and"): "auto" (default) runs it only when the estimated
+    exhaustive decode volume exceeds _PROBE_MIN_POSTINGS — the probe is
+    an EXTRA Spark job (~one scheduler floor), a fixed cost that beats
+    exhaustive only when the posting volume it prunes is larger (at
+    600k docs "of and" is ~1.1M postings ≈ 0.6s exhaustive, so the
+    probe loses; at 60M docs the same shape is ~110M postings and the
+    probe's prefix plan wins by an order of magnitude). True forces it
+    (the at-scale plan, used by bench pruning evidence), False skips it.
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
@@ -496,20 +585,31 @@ def search(
             )
             ubs_sorted = sorted(ub.values(), reverse=True)
             two_term_shaped = sum(ubs_sorted[2:]) <= 0.15 * (sum(ubs_sorted[:2]) or 1.0)
-            if weak and two_term_shaped and len(live) > 1 and hot_live:
+            est_postings = sum(bstats[t]["n_blocks"] for t in live) * int(
+                st["cfg"].get("block_size") or 128
+            )
+            probe_worth = probe is True or (
+                probe == "auto" and est_postings >= _PROBE_MIN_POSTINGS
+            )
+            if weak and two_term_shaped and len(live) > 1 and hot_live and probe_worth:
                 tau2 = _probe_tau(spark, st, hot_live, idf_map, avgdl, k_eff)
                 if tau2 > tau:
                     tau = tau2
                     thetas = _thetas_for_tau(live, idf_map, ub, sum(ub.values()), tau, ub_corr)
-            # futility check: a term with theta_t <= 0 provably keeps ALL
-            # its blocks (>=3 balanced hot terms always land here —
-            # UB_others alone reaches any achievable tau). If such terms
-            # cover most of the candidate blocks, the plain exhaustive
-            # scan is strictly cheaper than the filtered/routed plan
-            # (no filter evaluation, no union, no impact read).
-            unprunable = sum(bstats[t]["n_blocks"] for t in live if thetas[t] <= 0)
+            # cost check: bound how many blocks these thetas actually
+            # KEEP — per-term impact ladders give a 2x-tight upper bound
+            # for impact-routed terms, top_wands a sound one for cold
+            # terms (theta <= 0 always keeps everything; >=3 balanced
+            # hot terms always land there). If the bound covers most of
+            # the candidate blocks, the plain exhaustive scan is
+            # strictly cheaper than the filtered/routed plan (no filter
+            # evaluation, no union, no impact read) — measured 1.15s vs
+            # 1.37s on "of and" with the single-term tau at 600k docs.
+            # probe=True forces the routed plan regardless (callers use
+            # it to exercise/evidence the at-scale path).
+            est_kept = sum(_est_kept_blocks(bstats[t], thetas[t], t in imp) for t in live)
             tot = sum(bstats[t]["n_blocks"] for t in live)
-            if unprunable < 0.6 * tot:
+            if probe is True or est_kept < 0.6 * tot:
                 # routed scan: hot terms read a tau-prefix of their
                 # impact-ordered copy, cold terms the doc_id-ordered blocks
                 sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
@@ -542,15 +642,15 @@ def search(
         )
         _stats["_obs"] = obs
 
-    scored = _score_decoded(_decode_blocks(blocks), idf_map, avgdl)
+    partials = _decode_score_partials(blocks, idf_map, avgdl)
     if live_less:
         less_idf = {t: _idf(n_docs, dfs[t]) for t in live_less}
-        less_scored = _score_decoded(
-            _decode_blocks(_postings_for(spark, wh, st, live_less)), less_idf, avgdl
+        less_partials = _decode_score_partials(
+            _postings_for(spark, wh, st, live_less), less_idf, avgdl
         )
-        penalties = less_scored.groupBy("doc_id").agg(F.sum("tscore").alias("penalty"))
-        agg = scored.groupBy("doc_id").agg(
-            F.sum("tscore").alias("score"), F.count("*").alias("n_terms_hit")
+        penalties = less_partials.groupBy("doc_id").agg(F.sum("score").alias("penalty"))
+        agg = partials.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.sum("hits").alias("n_terms_hit")
         )
         if mode == "and":
             agg = agg.filter(F.col("n_terms_hit") == len(live))
@@ -561,7 +661,7 @@ def search(
         )
         topk = agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     else:
-        topk = _agg_topk(scored, len(live), mode, neg_docs, k)
+        topk = _agg_topk(partials, len(live), mode, neg_docs, k)
 
     if pruned and neg:
         # A-POSTERIORI VERIFICATION (exactness proof for pruned negation):
@@ -596,8 +696,7 @@ def search(
                     F.sum("n_docs").alias("postings_decoded"),
                 )
                 _stats["_obs"] = obs
-            scored = _score_decoded(_decode_blocks(blocks), idf_map, avgdl)
-            topk = _agg_topk(scored, len(live), mode, neg_docs, k)
+            topk = _agg_topk(_decode_score_partials(blocks, idf_map, avgdl), len(live), mode, neg_docs, k)
 
     if with_url:
         docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "url")
@@ -657,7 +756,7 @@ def batch_search(
         return empty
     qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
 
-    scored = _score_decoded(_decode_blocks(_postings_for(spark, wh, st, live)), idf_map, avgdl)
+    scored = _decode_score_terms(_postings_for(spark, wh, st, live), idf_map, avgdl)
     joined = scored.join(F.broadcast(qterms), "term")
     agg = joined.groupBy("query_id", "doc_id").agg(
         F.sum("tscore").alias("score"),
@@ -715,18 +814,19 @@ def search_with_stats(
     k: int = 10,
     mode: str = "or",
     prune: bool = True,
+    probe: bool | str = "auto",
 ) -> tuple[list, dict]:
     """Run a search eagerly and record per-query metrics — the analog of
     the reference's --stats surface (cli.rs:14-56 per-op stats, dump at
     cli.rs:510-512): blocks decoded vs total, postings decoded, wall ms.
     Returns (rows, stats_dict); also appends a row to query_metrics.
-    prune defaults True to MATCH search()'s default — the instrumented
+    prune/probe default to MATCH search()'s defaults — the instrumented
     path must measure the same plan a production search runs."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
     info: dict = {}
     t0 = time.time()
-    rows = search(spark, wh, query, k=k, mode=mode, prune=prune, _stats=info).collect()
+    rows = search(spark, wh, query, k=k, mode=mode, prune=prune, probe=probe, _stats=info).collect()
     info["wall_ms"] = (time.time() - t0) * 1000.0
     obs = info.pop("_obs", None)
     if obs is not None:

@@ -259,9 +259,14 @@ def test_multi_stopword_probe_prunes(spark, whbig, pyidx_big):
 
     q = "of and"
     want = bm25_topk(pyidx_big, q, k=10)
-    rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
+    # probe=True: the at-scale plan (probe="auto" skips the refinement
+    # job below ~4M candidate postings — this corpus is far under that)
+    rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True, probe=True)
     assert_rank_identical(rows_p, want)
     assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
+    # the auto gate must still be exact when it picks the cheap plan
+    rows_a, _ = search_with_stats(spark, whbig, q, k=10, prune=True, probe="auto")
+    assert_rank_identical(rows_a, want)
 
 
 def test_phrase_range_prune_sound_and_effective(spark, whbig, pyidx_big):
