@@ -4,11 +4,13 @@ Media are opaque `binary` payloads with typed metadata — the Spark-side
 plumbing (schemas, Arrow batch shapes, partitioning) is real and
 tested. The codec step is pluggable: `decode=\"fake\"` (default)
 derives deterministic features from the payload bytes so tests are
-stable everywhere; `decode=\"real\"` uses the optional codec libraries
-(Pillow for images, soundfile for audio, PyAV for video) when they are
-importable and raises NotImplementedError with the exact dependency
-otherwise (this container ships none of them — the real branches are
-import-gated, not dead code).
+stable everywhere; `decode=\"real\"` decodes the standard UNCOMPRESSED
+container formats natively in numpy — BMP (24-bit) and PPM (P6) images,
+WAV (PCM 8/16-bit) audio — with no external dependency, and falls back
+to the optional codec libraries (Pillow for other image formats,
+soundfile for other audio, PyAV for video) when they are importable,
+raising NotImplementedError with the exact dependency otherwise (the
+compressed-codec branches are import-gated, not dead code).
 """
 
 from __future__ import annotations
@@ -64,6 +66,49 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose payloads are REAL uncompressed
+    containers (24-bit BMP images, 16-bit PCM WAV audio) that
+    decode='real' decodes natively — end-to-end testable without any
+    codec library. Video rows keep fake payloads (no dependency-free
+    standard container exists; the real demux stays PyAV-gated)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            stride = (w * 3 + 3) & ~3
+            rowbytes = np.zeros((h, stride), np.uint8)
+            rowbytes[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+            px = rowbytes.tobytes()
+            header = (
+                b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+                + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + b"\x00" * 24
+            )
+            rows.append((i, kind, bytearray(header + px), w, h, 1, None))
+        elif kind == "audio":
+            rate = 8000
+            nsamp = int(rng.randint(16, 400))
+            pcm = (rng.randint(-32768, 32768, nsamp)).astype("<i2").tobytes()
+            hdr = (
+                b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+                + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                + b"data" + len(pcm).to_bytes(4, "little")
+            )
+            rows.append((i, kind, bytearray(hdr + pcm), None, None, None, rate))
+        else:
+            rows.append((i, kind, bytearray(rng.bytes(128)), 32, 32, int(rng.randint(1, 60)), None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_pixel_stats(payload: bytes) -> tuple[float, float, float, int]:
     """Deterministic stand-in for decode+aggregate: derive 'channel means'
     and a perceptual-hash-like value from a digest of the payload."""
@@ -71,11 +116,95 @@ def _fake_pixel_stats(payload: bytes) -> tuple[float, float, float, int]:
     return d[0] / 255.0, d[1] / 255.0, d[2] / 255.0, int.from_bytes(d[8:16], "big", signed=True)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Native numpy decode of an uncompressed 24-bit BMP -> (h, w, 3)
+    RGB array, or None if the payload is not such a BMP. Pure public
+    file-format knowledge: 'BM' magic, pixel-array offset at byte 10,
+    width/height at 18/22, bpp at 28, BI_RGB compression at 30,
+    bottom-up rows padded to 4 bytes."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(payload):
+        return None
+    rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Native numpy decode of a binary PPM (P6, maxval<=255) -> (h, w, 3)
+    RGB array, or None if not such a PPM."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens (comment lines start with '#'), then ONE whitespace byte
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    try:
+        w, h, maxv = (int(t) for t in toks)
+    except (ValueError, TypeError):
+        return None
+    i += 1  # the single whitespace after maxval
+    if maxv > 255 or w <= 0 or h <= 0 or i + w * h * 3 > n:
+        return None
+    return np.frombuffer(payload, np.uint8, w * h * 3, i).reshape(h, w, 3)
+
+
+def _ahash64(gray: np.ndarray) -> int:
+    """8x8 box-average aHash of a grayscale array (box resampling — the
+    Pillow path's filter differs slightly, so hashes are comparable only
+    within one decoder; documented)."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cs = np.zeros((h + 1, w + 1), dtype=np.float64)
+    cs[1:, 1:] = gray.cumsum(0).cumsum(1)  # summed-area table: exact box means
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    g = (
+        cs[ys[1:], :][:, xs[1:]] - cs[ys[:-1], :][:, xs[1:]]
+        - cs[ys[1:], :][:, xs[:-1]] + cs[ys[:-1], :][:, xs[:-1]]
+    ) / np.maximum(area, 1)
+    bits = (g > g.mean()).flatten()
+    ph = int(np.packbits(bits).view(">u8")[0])
+    return ph - (1 << 64) if ph >= 1 << 63 else ph
+
+
 def _real_pixel_stats(payload: bytes) -> tuple[float, float, float, int]:
-    """Pillow decode: channel means + 8x8 average-hash (aHash)."""
+    """Real decode: native numpy for BMP/PPM, Pillow for anything else.
+    Features: channel means + 8x8 average-hash (aHash)."""
+    arr = decode_bmp(payload)
+    if arr is None:
+        arr = decode_ppm(payload)
+    if arr is not None:
+        a = arr.astype(np.float64) / 255.0
+        mr, mg, mb = a.mean(axis=(0, 1))
+        gray = a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+        return float(mr), float(mg), float(mb), _ahash64(gray * 255.0)
     import io
 
-    Image = _optional("PIL.Image", "pip install pillow")
+    Image = _optional("PIL.Image", "pip install pillow (payload is not BMP/PPM)")
     img = Image.open(io.BytesIO(payload)).convert("RGB")
     arr = np.asarray(img, dtype=np.float64) / 255.0
     mr, mg, mb = arr.mean(axis=(0, 1))
@@ -111,6 +240,39 @@ def decode_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(it, IMAGE_FEATURES_SCHEMA)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Native numpy decode of a PCM WAV (8- or 16-bit) -> (mono float64
+    samples in [-1, 1], sample_rate), or None if not such a WAV. Walks
+    RIFF chunks ('fmt ' then 'data'); multi-channel audio is mean-mixed."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        raw = np.frombuffer(data, np.int16, len(data) // 2).astype(np.float64) / 32768.0
+    else:
+        raw = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    frames = len(raw) // channels
+    return raw[: frames * channels].reshape(frames, channels).mean(axis=1), rate
+
+
 def decode_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Whole-batch vectorized: all payloads in an Arrow batch concatenate
     into ONE sample array; per-row duration/RMS/zero-crossings come from
@@ -121,10 +283,24 @@ def decode_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
             if not len(pdf):
                 continue
             if decode == "real":
-                import io
+                # native numpy for PCM WAV; soundfile only for other formats
+                samples = []
+                rates = pd.to_numeric(pdf["sample_rate"], errors="coerce").fillna(0).to_numpy(np.float64)
+                for j, p in enumerate(pdf["payload"]):
+                    b = bytes(p)
+                    wav = decode_wav(b) if b else None
+                    if wav is not None:
+                        samples.append(wav[0])
+                        rates[j] = wav[1]
+                    elif b:
+                        import io
 
-                sf = _optional("soundfile", "pip install soundfile")
-                samples = [sf.read(io.BytesIO(bytes(p)))[0] if len(bytes(p)) else np.empty(0) for p in pdf["payload"]]
+                        sf = _optional("soundfile", "pip install soundfile (payload is not PCM WAV)")
+                        s, r = sf.read(io.BytesIO(b))
+                        samples.append(s if s.ndim == 1 else s.mean(axis=1))
+                        rates[j] = r
+                    else:
+                        samples.append(np.empty(0))
                 lens = np.array([len(s) for s in samples], dtype=np.int64)
                 cat = np.concatenate([s for s in samples if len(s)]) if lens.any() else np.empty(0)
             else:
@@ -148,14 +324,22 @@ def decode_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 sb = np.signbit(cat).astype(np.int8)
                 d = np.abs(np.diff(sb, append=np.int8(0)))
                 d[np.cumsum(kl) - 1] = 0
-                sr = pdf["sample_rate"].to_numpy().astype(np.float64)
-                dur[keep] = kl / sr[keep]
+                sr = (
+                    rates
+                    if decode == "real"
+                    else pdf["sample_rate"].to_numpy().astype(np.float64)
+                )
+                dur[keep] = kl / np.maximum(sr[keep], 1.0)
                 rms[keep] = np.sqrt(sumsq / kl)
                 zc[keep] = np.add.reduceat(d, starts).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64").to_numpy(),
-                    "sample_rate": pdf["sample_rate"].astype("int32").to_numpy(),
+                    "sample_rate": (
+                        rates.astype(np.int32)
+                        if decode == "real"
+                        else pdf["sample_rate"].astype("int32").to_numpy()
+                    ),
                     "duration_s": dur,
                     "rms": rms,
                     "zero_crossings": zc,

@@ -122,8 +122,17 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
     return st
 
 
-def _term_dfs(spark, st: dict, terms: list[str]) -> dict[str, int]:
+def _term_dfs(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[str, int]:
+    """df per live term, memoized. Served from term_block_stats when the
+    index has it: n_postings there IS df (exactly one posting per
+    (term, doc)), and loading through _term_block_stats fills the
+    pruning metadata cache from the SAME collect — a cold query then
+    pays ONE metadata round trip instead of two. Pre-summary indexes
+    fall back to the term_stats table."""
     missing = [t for t in terms if t not in st["dfs"]]
+    if missing and _block_stats_rel(spark, st, wh) is not False:
+        _term_block_stats(spark, st, wh, missing)  # fills st["dfs"] too
+        missing = [t for t in terms if t not in st["dfs"]]
     if missing:
         rows = st["term_stats_rel"].filter(F.col("term").isin(missing)).select("term", "df").collect()
         found = {r["term"]: int(r["df"]) for r in rows}
@@ -132,10 +141,7 @@ def _term_dfs(spark, st: dict, terms: list[str]) -> dict[str, int]:
     return {t: st["dfs"][t] for t in terms if st["dfs"][t] is not None}
 
 
-def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[str, dict]:
-    """Per-term pruning metadata from term_block_stats, memoized. Returns
-    only terms that have a row; an index built before the summary stage
-    existed simply yields {} (pruning then falls back to exhaustive)."""
+def _block_stats_rel(spark, st: dict, wh: Warehouse):
     if st["block_stats_rel"] is None:
         try:
             rel = catalog.read_table(spark, wh.root, "term_block_stats")
@@ -143,7 +149,14 @@ def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[
             st["block_stats_rel"] = rel if "top_wands" in rel.columns else False
         except Exception:
             st["block_stats_rel"] = False  # table absent; remember that
-    if st["block_stats_rel"] is False:
+    return st["block_stats_rel"]
+
+
+def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[str, dict]:
+    """Per-term pruning metadata from term_block_stats, memoized. Returns
+    only terms that have a row; an index built before the summary stage
+    existed simply yields {} (pruning then falls back to exhaustive)."""
+    if _block_stats_rel(spark, st, wh) is False:
         return {}
     missing = [t for t in terms if t not in st["bstats"]]
     if missing:
@@ -166,6 +179,10 @@ def _term_block_stats(spark, st: dict, wh: Warehouse, terms: list[str]) -> dict[
         }
         for t in missing:
             st["bstats"][t] = found.get(t)
+            if found.get(t) is not None:
+                # n_postings == df (one posting per (term, doc)): the same
+                # collect serves _term_dfs, halving cold-query round trips
+                st["dfs"][t] = found[t]["n_postings"]
     return {t: st["bstats"][t] for t in terms if st["bstats"].get(t) is not None}
 
 
@@ -531,7 +548,7 @@ def search(
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     _term_buckets(spark, st, pos + neg + less)  # one hash job for all terms
-    dfs = _term_dfs(spark, st, pos + less + neg)
+    dfs = _term_dfs(spark, st, wh, pos + less + neg)
     live = [t for t in pos if t in dfs]
     live_less = [t for t in less if t in dfs]
     if _stats is not None:
@@ -745,7 +762,7 @@ def batch_search(
         return empty
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    dfs = _term_dfs(spark, st, all_terms)
+    dfs = _term_dfs(spark, st, wh, all_terms)
     live = sorted(t for t in all_terms if t in dfs)
     if not live:
         return empty
@@ -903,7 +920,7 @@ def plan_summary(
     st = _wh_state(spark, wh)
     pos, neg, less = parse_query(query)
     n_docs = int(st["stats"]["n_docs"])
-    dfs = _term_dfs(spark, st, pos + less)
+    dfs = _term_dfs(spark, st, wh, pos + less)
     buckets = _term_buckets(spark, st, pos + neg + less)
     bstats = _term_block_stats(spark, st, wh, [t for t in pos if t in dfs]) if prune else {}
     lines = [f"query: {query!r}  k={k} mode={mode} prune={prune}  corpus n_docs={n_docs}"]
@@ -1015,7 +1032,7 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     uniq = list(dict.fromkeys(terms))
-    dfs = _term_dfs(spark, st, uniq)
+    dfs = _term_dfs(spark, st, wh, uniq)
     if any(t not in dfs for t in uniq):
         return empty  # a phrase containing an absent term matches nothing
     order = sorted(uniq, key=lambda t: (dfs[t], t))  # rarest term first
