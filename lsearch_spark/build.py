@@ -204,7 +204,7 @@ K_TOP = 256
 # bump on any on-disk layout/schema change: folded into the stage
 # fingerprint so warehouses built by older code rebuild instead of being
 # served with a stale schema
-INDEX_FORMAT = 7  # v7: term_block_stats carries per-term impact ladders
+INDEX_FORMAT = 8  # v8: impact ladders interleave (max, min) wand samples
 
 
 def _stage_done(wh: Warehouse, stage: str, fingerprint: str, resume: bool) -> bool:
@@ -582,20 +582,38 @@ def _make_block_mapper(block_size: int, avgdl: float):
 
 def _impact_ladders(postings: DataFrame) -> DataFrame:
     """term -> impact_ladder: array of per-salt arrays, each
-    [n_impact_blocks, max_wand@block 0, @1, @2, @4, @8, ...].
+    [n_impact_blocks, max@0, min@0, max@1, min@1, max@2, min@2,
+    max@4, min@4, ...] — block_max_wand/block_min_wand sampled at
+    power-of-two block_ids.
 
-    Impact lists (kind=1) have non-increasing block_max_wand by
-    block_id, so maxima sampled at power-of-two block_ids let the query
-    planner bound blocks-kept-under-theta within 2x for ANY theta: the
-    first sampled value < theta sits at block_id 2^(j-1), and every
-    later block's max is <= it. Terms without impact copies get NULL
-    (the planner falls back to the sound top_wands estimate)."""
+    Impact lists (kind=1) are wand-DESC, so BOTH stats are
+    non-increasing by block_id: the maxima let the query planner bound
+    blocks-kept-under-theta within 2x for ANY theta (first sampled max
+    < theta at block_id 2^(j-1) proves every later block is cut), and
+    the minima prove ~block_size DISTINCT docs per qualifying block
+    (min@b >= v means EVERY posting in blocks 0..b scores >= v), which
+    extends tau formation to arbitrary depth k — negation's df-aware
+    k_eff on a high-df exclusion needs thousands, far past the stored
+    top_wands. Terms without impact copies get NULL (the planner falls
+    back to the sound top_wands estimate)."""
     pi = postings.filter(F.col("kind") == 1)
     po2 = F.col("block_id").bitwiseAND(F.col("block_id") - 1) == 0  # 0,1,2,4,...
+    pts = F.array_sort(
+        F.collect_list(
+            F.when(
+                po2,
+                F.struct(
+                    F.col("block_id").alias("b"),
+                    F.col("block_max_wand").alias("mx"),
+                    F.col("block_min_wand").alias("mn"),
+                ),
+            )
+        )
+    )  # struct sort = by block_id asc
     per_salt = pi.groupBy("term", "salt").agg(
         F.concat(
             F.array(F.count("*").cast("double")),
-            F.sort_array(F.collect_list(F.when(po2, F.col("block_max_wand"))), asc=False),
+            F.flatten(F.transform(pts, lambda s: F.array(s["mx"], s["mn"]))),
         ).alias("salt_ladder")
     )
     return per_salt.groupBy("term").agg(F.collect_list("salt_ladder").alias("impact_ladder"))

@@ -363,7 +363,8 @@ def _thetas_for_tau(
 
 
 def _wand_thetas(
-    live: list[str], idf_map: dict[str, float], bstats: dict[str, dict], k: int, ratio: float = 1.0
+    live: list[str], idf_map: dict[str, float], bstats: dict[str, dict], k: int,
+    ratio: float = 1.0, block_size: int = 128,
 ):
     """Driver-side WAND plan: (per-term theta dict | None, tau).
 
@@ -393,10 +394,52 @@ def _wand_thetas(
         tw = bstats[t]["top_wands"]
         if len(tw) >= k:
             tau = max(tau, idf_map[t] * tw[k - 1] * tau_corr)
+        else:
+            # deeper than the stored top_wands: impact ladders extend the
+            # k-th-best-block-max bound to ANY depth (negation k_eff on a
+            # high-df exclusion routinely needs thousands)
+            deep = _deep_kth_wand(bstats[t], k, block_size)
+            if deep is not None:
+                tau = max(tau, idf_map[t] * deep * tau_corr)
     if tau == float("-inf"):
         return None, tau
     tau -= abs(tau) * 1e-9 + 1e-12  # float-safety margin (still a lower bound)
     return _thetas_for_tau(live, idf_map, ub, sum_ub, tau, ub_corr), tau
+
+
+def _deep_kth_wand(bs: dict, k: int, block_size: int) -> float | None:
+    """Lower bound on the wand value that at least k DISTINCT docs of
+    this term reach, at ANY depth, from its impact ladder (per salt:
+    [n, max@0, min@0, max@1, min@1, ... at power-of-two block_ids]).
+
+    For a candidate value v: a sampled block_min_wand >= v at block_id
+    b = 2^(j-1) proves EVERY posting in that salt's blocks 0..b scores
+    >= v (mins are non-increasing across an impact list, and blocks
+    partition the term's postings into distinct docs) — that is
+    (b+1)*block_size docs when block b is not the salt's last (only the
+    last block can be partial), else b*block_size + 1. Summed over
+    salts, L(v) >= k docs contribute >= idf * v each — the top_wands
+    tau argument at unbounded depth (a high-df negation's k_eff
+    routinely needs thousands). Returns the largest sampled v with
+    L(v) >= k, else None."""
+    lads = bs.get("impact_ladder")
+    if not lads:
+        return None
+    for v in sorted({m for lad in lads for m in lad[2::2]}, reverse=True):
+        proven = 0
+        for lad in lads:
+            n_s, mins = int(lad[0]), lad[2::2]
+            docs_at = 0
+            for j, m in enumerate(mins):
+                if m >= v:
+                    b = 0 if j == 0 else 2 ** (j - 1)
+                    docs_at = (b + 1) * block_size if b + 1 < n_s else b * block_size + 1
+                else:
+                    break
+            proven += docs_at
+        if proven >= k:
+            return v
+    return None
 
 
 def _block_filter(terms: list[str], thetas: dict[str, float]):
@@ -446,7 +489,7 @@ def _est_kept_blocks(bs: dict, theta: float, impact: bool) -> int:
     if impact and bs.get("impact_ladder"):
         tot = 0
         for lad in bs["impact_ladder"]:
-            n_s, maxima = int(lad[0]), lad[1:]
+            n_s, maxima = int(lad[0]), lad[1::2]  # lad = [n, max@0, min@0, max@1, min@1, ...]
             kept = n_s
             for j, m in enumerate(maxima):
                 if m < theta:
@@ -576,11 +619,17 @@ def search(
             # survive DESPITE binomial noise (margin 4*sqrt(k)+4 puts the
             # shortfall probability well under 1%; a bare k/(1-rate) was
             # measured to fall back ~25% of the time). Beyond the stored
-            # depth (K_TOP) -> no pruning (e.g. "-the": nearly every
-            # witness would be excluded anyway).
-            neg_rate = min(0.98, sum(dfs.get(t) or 0 for t in neg) / max(n_docs, 1))
+            # top_wands depth, impact ladders extend tau to any k_eff
+            # (so even "physics -the", k_eff ~ 1300, forms a tau); the
+            # a-posteriori verification below keeps it exact either way.
+            # no cap on neg_rate: impact ladders form a tau at ANY depth,
+            # and an impossible depth (rate -> 1, k_eff > corpus) simply
+            # yields no tau -> exhaustive. The old 0.98 cap (from the
+            # K_TOP-only era) made "-<99%-df term>" ask for a tau 5x too
+            # shallow and pay a guaranteed verify-fallback double scan.
+            neg_rate = min(1.0 - 1e-9, sum(dfs.get(t) or 0 for t in neg) / max(n_docs, 1))
             k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / (1.0 - neg_rate))
-        thetas, tau = _wand_thetas(live, idf_map, bstats, k_eff, ratio)
+        thetas, tau = _wand_thetas(live, idf_map, bstats, k_eff, ratio, int(st["cfg"].get("block_size") or 128))
         if thetas is not None:
             ub_corr = max(1.0, ratio)
             imp = _impact_terms(spark, st, wh)
@@ -943,7 +992,7 @@ def plan_summary(
         idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
         avgdl_q = float(st["stats"]["avgdl"])
         ratio = avgdl_q / max(float(st["cfg"].get("wand_avgdl") or avgdl_q), 1e-9)
-        thetas, tau = _wand_thetas(live, idf_map, bstats, k, ratio)
+        thetas, tau = _wand_thetas(live, idf_map, bstats, k, ratio, int(st["cfg"].get("block_size") or 128))
         if thetas is None:
             lines.append("  WAND: no pruning applicable")
         else:
