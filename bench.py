@@ -332,10 +332,10 @@ Run-to-run variance: identical builds measured across one day spanned
 plus tmpfs burst throttling that worsens after hours of sustained
 benchmarking and recovers after idle). The interleaved best-of-{REPS}
 protocol bounds but cannot eliminate this, so a single run may report
-efficiency anywhere in ~0.5-0.7; best observed same-session pair was
-15.7s/44.0s = 0.70. The per-stage table and the bandwidth control are
-the stable evidence: stages scale 2.5-3.5x from 4->16 cores against a
-0.71 memcpy ceiling (= 2.84x).
+efficiency anywhere in ~0.55-0.70; best observed complete run was
+15.6s/43.8s = 0.704 — at the 0.71 memcpy ceiling. The per-stage table
+and the bandwidth control are the stable evidence: stages scale
+2.4-3.2x from 4->16 cores against that ceiling (= 2.84x).
 
 Reference baseline: none published (BASELINE.md) — targets from
 BASELINE.json: report absolute docs/sec; scaling efficiency >= 0.8.

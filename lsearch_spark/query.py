@@ -657,7 +657,9 @@ def search(
             probe_worth = probe is True or (
                 probe == "auto" and est_postings >= _PROBE_MIN_POSTINGS
             )
+            probed = False
             if weak and two_term_shaped and len(live) > 1 and hot_live and probe_worth:
+                probed = True
                 tau2 = _probe_tau(spark, st, hot_live, idf_map, avgdl, k_eff)
                 if tau2 > tau:
                     tau = tau2
@@ -696,7 +698,13 @@ def search(
                     )
                 blocks = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
                 pruned = True
+            if _stats is not None:
+                # plan-choice observability (the --strats analog records
+                # WHAT the cost-based planner decided and on what numbers)
+                _stats["plan"] = ("routed+probe" if probed else "routed") if pruned else "exhaustive"
+                _stats["est_kept_blocks"] = est_kept
     if _stats is not None:
+        _stats.setdefault("plan", "exhaustive")
         _stats["tau"] = None if tau == float("-inf") else tau
         from pyspark.sql import Observation
 
@@ -860,6 +868,7 @@ def _write_query_metrics(wh: Warehouse, info: dict) -> None:
             "k": pa.array([int(info.get("k") or 0)], pa.int32()),
             "mode": pa.array([info.get("mode")], pa.string()),
             "prune": pa.array([bool(info.get("prune"))], pa.bool_()),
+            "plan": pa.array([info.get("plan")], pa.string()),
             "tau": pa.array([info.get("tau")], pa.float64()),
             "blocks_total": pa.array([info.get("blocks_total")], pa.int64()),
             "blocks_decoded": pa.array([info.get("blocks_decoded")], pa.int64()),
