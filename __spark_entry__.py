@@ -7,7 +7,7 @@ sides). BM25 queries run the real engine (index build + compressed-
 block search + driver-side WAND with impact-ordered routing, probe-
 refined tau, and verified pruned negation; also batched and
 incremental-append variants) and are checked against a full BM25
-reimplementation in ANSI SQL — 36 oracle-checked entries, including a
+reimplementation in ANSI SQL — 37 oracle-checked entries, including a
 FULL all-pairs oracle for minhash near-dups, a pigeonhole-completeness
 oracle for simhash, and a soundness oracle for LSH ANN. The 4 rows-only
 entries are approximate / Spark-hash-specific / fake-codec by design
@@ -140,6 +140,27 @@ def _bm25_sql(terms: list[str], mode: str = "or") -> str:
     return _BM25_SQL.format(toks=_toks_sql("text"), terms=tlist, and_clause=and_clause)
 
 
+def _bm25_neg_sql(pos: str, neg: str) -> str:
+    toks = _toks_sql("text")
+    return f"""
+WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+       WHERE term = '{pos}' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+neg AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({toks}) AS term FROM documents) WHERE term = '{neg}')
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 5) AS score
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+WHERE tf.doc_id NOT IN (SELECT doc_id FROM neg)
+GROUP BY tf.doc_id
+ORDER BY sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) DESC, tf.doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------------------ queries
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the inverted index over sf0.001 documents and run a
@@ -215,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # negation through the verify-and-fallback pruned path (exactness is
     # a-posteriori verified in search(); same SQL oracle as exhaustive)
     q["bm25_negation_pruned_top10"] = lambda s, d: _bm25(s, d, "data -query", prune=True)
+    # deep-tau negation: excluding ~80%-df 'batch' needs k_eff ~ 136 —
+    # past the warehouse's per-term block count, so the tau comes from
+    # the impact LADDER (unbounded-depth bound) + a-posteriori verify
+    q["bm25_negation_deep_top10"] = lambda s, d: _bm25(s, d, "scan -batch", prune=True)
     # both terms ~80% df -> hot -> served from the impact-ordered copies
     q["bm25_stopword_pair_top10"] = lambda s, d: _bm25(s, d, "batch small", prune=True)
 
@@ -448,23 +473,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(['data', 'query'])}) "
             f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_sql(['filter', 'merge'])})"
         ),
-        "bm25_negation_top10": f"""
-WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, term, count(*) AS tf
-       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
-       WHERE term = 'data' GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-neg AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({toks}) AS term FROM documents) WHERE term = 'query')
-SELECT tf.doc_id,
-       round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 5) AS score
-FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-WHERE tf.doc_id NOT IN (SELECT doc_id FROM neg)
-GROUP BY tf.doc_id
-ORDER BY sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) DESC, tf.doc_id LIMIT 10
-""",
+        "bm25_negation_top10": _bm25_neg_sql("data", "query"),
+        "bm25_negation_deep_top10": _bm25_neg_sql("scan", "batch"),
         "bm25_less_top10": f"""
 WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
