@@ -35,9 +35,10 @@ pure-Python oracle:
 Three round-3 refinements keep that plan effective where block-max WAND
 alone is provably weak (all exactness-preserving):
 
-- IMPACT ROUTING: hot terms read their impact-ordered copy
-  (build.py impact stage) instead of the doc_id-ordered blocks. A
-  stopword's doc_id-ordered 128-doc blocks all contain some high-tf
+- IMPACT ROUTING: hot terms read their impact-ordered copy (kind=1
+  partition, emitted by the blocks kernel) instead of the
+  doc_id-ordered blocks. A stopword's doc_id-ordered 128-doc blocks
+  all contain some high-tf
   doc, so block maxima saturate (measured at 600k docs: maxima within
   [1.93, 2.07] while per-posting wand spans [1.0, 2.06]) and even a
   PERFECT tau prunes ~30%; in impact order the same theta filter keeps
@@ -53,6 +54,19 @@ alone is provably weak (all exactness-preserving):
   (then every returned score is exact and nothing pruned can displace
   or tie it — see inline proof in search()); on shortfall the query
   reruns exhaustively, and the fallback is recorded in query_metrics.
+  Impact LADDERS (term_block_stats.impact_ladder, (max, min) wand
+  sampled at power-of-two block ranks) extend tau formation to ANY
+  depth (_deep_kth_wand), so even "-<99%-df term>" forms a tau.
+- COST-BASED PLAN CHOICE: the same ladders bound, within 2x, how many
+  blocks any theta keeps (_est_kept_blocks — property-tested sound),
+  so the planner runs the routed/probed plan only when it provably
+  cuts >40% of the candidate blocks and the probe job only when the
+  decode volume it can save exceeds the job's fixed cost
+  (probe="auto"); otherwise the plain single-job exhaustive scan wins
+  and is used. query_metrics records the choice per query.
+- FUSED KERNEL: decode + BM25 + per-batch partial aggregation run in
+  ONE numpy pass (_decode_score_partials); only (doc_id, score, hits)
+  partials cross Arrow, and the JVM merely finishes the partial sums.
 
 Per-query instrumentation (the reference's --stats analog,
 cli.rs:14-96, dump at cli.rs:510-512): `search_with_stats` records
