@@ -923,13 +923,50 @@ def build_index(
     # touches the compressed binary blobs.
     if stage_runs("block_stats"):
         t0 = time.time()
-        # kind=0 only: the impact copies hold the SAME postings, so
-        # counting both kinds would double every df-derived stat
-        pb = catalog.read_table(spark, wh.root, "postings").filter(F.col("kind") == 0)
+        # ONE conditional-aggregation pass over BOTH kinds of block meta
+        # ((term, salt) keys are shared — impact copies reuse their
+        # group's salt): kind=0 rows feed the df-derived stats (counting
+        # both kinds would double them), kind=1 rows feed the impact
+        # ladder — per covered salt [n_impact_blocks, max@0, min@0,
+        # max@1, min@1, ... at power-of-two block_ids] (~20 doubles that
+        # bound, within 2x, how many blocks ANY theta keeps; the query
+        # planner costs the routed plan with this instead of guessing).
+        # The po2 filter runs on the meta scan, so no task ever collects
+        # a full block list, and the whole stage is a single scan + two
+        # hash aggs (was two scans + a join).
+        pb = catalog.read_table(spark, wh.root, "postings")
+        k0 = F.col("kind") == 0
+        k1po2 = (F.col("kind") == 1) & (F.col("block_id").bitwiseAND(F.col("block_id") - 1) == 0)
+        pts = F.array_sort(
+            F.collect_list(
+                F.when(
+                    k1po2,
+                    F.struct(
+                        F.col("block_id").alias("b"),
+                        F.col("block_max_wand").alias("mx"),
+                        F.col("block_min_wand").alias("mn"),
+                    ),
+                )
+            )
+        )  # struct sort = by block_id asc
         partial = pb.groupBy("term", "salt").agg(
-            F.count("*").cast("long").alias("nb"),
-            F.sum("n_docs").cast("long").alias("np"),
-            F.slice(F.sort_array(F.collect_list("block_max_wand"), asc=False), 1, K_TOP).alias("tw"),
+            F.count(F.when(k0, 1)).cast("long").alias("nb"),
+            F.sum(F.when(k0, F.col("n_docs"))).cast("long").alias("np"),
+            F.slice(
+                F.sort_array(F.collect_list(F.when(k0, F.col("block_max_wand"))), asc=False),
+                1, K_TOP,
+            ).alias("tw"),
+            F.count(F.when(F.col("kind") == 1, 1)).cast("double").alias("nib"),
+            pts.alias("pts"),
+        ).withColumn(
+            "salt_ladder",
+            F.when(
+                F.col("nib") > 0,
+                F.concat(
+                    F.array(F.col("nib")),
+                    F.flatten(F.transform(F.col("pts"), lambda s: F.array(s["mx"], s["mn"]))),
+                ),
+            ),
         )
         bs = (
             partial.groupBy("term")
@@ -937,17 +974,14 @@ def build_index(
                 F.sum("nb").alias("n_blocks"),
                 F.sum("np").alias("n_postings"),
                 F.slice(F.sort_array(F.flatten(F.collect_list("tw")), asc=False), 1, K_TOP).alias("top_wands"),
+                F.collect_list("salt_ladder").alias("impact_ladder"),  # skips nulls
             )
             .withColumn("ub_wand", F.col("top_wands")[0])
+            .withColumn(
+                "impact_ladder",
+                F.when(F.size("impact_ladder") > 0, F.col("impact_ladder")),
+            )
         )
-        # impact ladder: per covered term, one entry per salt =
-        # [n_impact_blocks, then block_max_wand at block_ids 0,1,2,4,...]
-        # (powers of two — maxima are non-increasing across an impact
-        # list's blocks, so ~20 doubles bound, within 2x, how many blocks
-        # ANY theta keeps; the query planner costs the routed plan with
-        # this instead of guessing). The po2 filter runs on the meta
-        # scan, so no task ever collects a full block list.
-        bs = bs.join(_impact_ladders(catalog.read_table(spark, wh.root, "postings")), "term", "left")
         bs, obs = _observed(bs, "block_stats")
         catalog.write_table(spark, bs, wh.root, "term_block_stats")
         finish("block_stats", t0, [(-1, obs.get["n_rows"], None)])
