@@ -663,9 +663,10 @@ def build_index(
     input_id): completed stages are skipped on rerun (resume=True).
 
     merge_parts pins the (term, salt) merge-shuffle partition count
-    (default: max(2*defaultParallelism, spark.sql.shuffle.partitions)).
-    Smaller partitions mean smaller per-task columnar buffers in the
-    block kernel — tune up on memory-constrained executors.
+    (default _merge_parts_default: max(8*defaultParallelism,
+    spark.sql.shuffle.partitions, flat_bytes/32MB) — many small waves
+    smooth hot-group skew and bound per-task columnar buffers). Tune up
+    further on memory-constrained executors.
 
     impact_copies=False skips the impact-ordered (kind=1) copies of hot
     terms' postings: ~30% less postings storage and a faster build, at
@@ -1036,6 +1037,19 @@ def append_index(
     blocks_m = wh.read_manifest("blocks")
     if not cfg or not blocks_m or not blocks_m.get("ok") or "wand_avgdl" not in cfg:
         raise ValueError(f"append_index needs a completed build under {wh.root}")
+    # Format guard: a segment written by THIS code carries the current
+    # layout (kind partition column, impact ladders). Committing it onto
+    # an older-format warehouse would poison read_table's unionByName
+    # with a schema mismatch AFTER the commit — refuse up front instead.
+    # The stage fingerprint embeds the builder's INDEX_FORMAT verbatim.
+    fp = str(blocks_m.get("fingerprint") or "")
+    if f"|v{INDEX_FORMAT}|" not in fp:
+        raise ValueError(
+            f"append_index: warehouse {wh.root} was built with an older index "
+            f"format (fingerprint {fp!r}, current v{INDEX_FORMAT}); appending "
+            "would commit a segment with an incompatible postings schema. "
+            "Rebuild with build_index(resume=False) first."
+        )
     n_buckets, block_size = int(cfg["n_buckets"]), int(cfg["block_size"])
     hot_df, n_salts = int(cfg["hot_df"]), int(cfg["n_salts"])
     wand_avgdl = float(cfg["wand_avgdl"])

@@ -106,6 +106,16 @@ SCORED_SCHEMA = "term string, doc_id long, tscore double"
 _WH_CACHE: dict[str, dict] = {}
 
 
+def _kind_filtered(rel: DataFrame, kind: int) -> DataFrame | None:
+    """Select one kind partition of the postings table, or the whole
+    table on pre-v8 layouts that never wrote a kind column (for kind=0
+    that IS the doc-ordered blocks; for kind=1 there are no impact
+    copies — return None so callers skip impact routing)."""
+    if "kind" in rel.columns:
+        return rel.filter(F.col("kind") == kind)
+    return rel if kind == 0 else None
+
+
 def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
     st = _WH_CACHE.get(wh.root)
     if st is None:
@@ -123,9 +133,12 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
             # keeps the FileIndex warm across queries (re-listing bucket
             # dirs per query is pure metadata overhead). kind=0 = the
             # doc_id-ordered positional blocks; the impact copies (kind=1)
-            # live in the same table behind partition pruning.
-            "postings_rel": catalog.read_table(spark, wh.root, "postings").filter(
-                F.col("kind") == 0
+            # live in the same table behind partition pruning. Pre-v8
+            # warehouses have no kind partition at all — the whole table
+            # IS the doc-ordered blocks, so the filter is skipped (same
+            # graceful degradation as impact_terms/block_stats).
+            "postings_rel": _kind_filtered(
+                catalog.read_table(spark, wh.root, "postings"), 0
             ),
             "term_stats_rel": catalog.read_table(spark, wh.root, "term_stats"),
             "block_stats_rel": None,  # lazy: absent on pre-round-2 indexes
@@ -481,10 +494,12 @@ def _impact_terms(spark, st: dict, wh: Warehouse) -> set[str]:
         except Exception:
             st["impact_terms"] = set()
         if st["impact_terms"]:
-            st["impact_rel"] = catalog.read_table(spark, wh.root, "postings").filter(
-                F.col("kind") == 1
+            st["impact_rel"] = _kind_filtered(
+                catalog.read_table(spark, wh.root, "postings"), 1
             )
-    return st["impact_terms"]
+            if st["impact_rel"] is None:  # impact_terms table without a
+                st["impact_terms"] = set()  # kind partition: inconsistent
+    return st["impact_terms"]  # old layout — route nothing to impact
 
 
 def _est_kept_blocks(bs: dict, theta: float, impact: bool) -> int:
@@ -524,6 +539,15 @@ def _est_kept_blocks(bs: dict, theta: float, impact: bool) -> int:
 # (any real corpus) the probe's savings grow with corpus size while its
 # cost stays one small job.
 _PROBE_MIN_POSTINGS = 4_000_000
+
+# Phrase range-prune gate: the block-metadata BNLJ probes every candidate
+# doc_id against every other-term block range, so its cost is
+# df_rare * n_other_blocks COMPARISONS while the decode it saves is
+# bounded by n_other_blocks * block_size POSTINGS (~2M/sec/core fused
+# decode vs ~20M/sec/core JVM range probes). Above this product the
+# probe provably costs more than decoding everything; below it the
+# semi-join's pruning wins whenever candidates cluster.
+_PHRASE_BNLJ_MAX = 50_000_000
 
 
 def _probe_tau(spark, st: dict, hot_live: list[str], idf_map: dict[str, float],
@@ -576,12 +600,15 @@ def search(
     """BM25 top-k. Returns DataFrame(doc_id, score[, url]) already ordered
     (score DESC, doc_id ASC) and limited to k.
 
-    prune=True (the DEFAULT — it is never slower: same single Spark job,
-    strictly fewer blocks decoded, measured p50 425ms vs 834ms exhaustive
-    at 600k docs) enables driver-side block-max WAND (module docstring);
-    results are exact. It silently degrades to the exhaustive plan when
-    not applicable (AND mode, negation, '~less' terms, k > 32 stored
-    maxima, missing stats) — those can invalidate tau's k-doc witness set.
+    prune=True (the DEFAULT) enables driver-side block-max WAND (module
+    docstring); results are exact. The cost-based planner picks between
+    the routed/probed plan and the plain exhaustive scan per query
+    (whichever the ladder estimators prove cheaper). Negation ('-term')
+    DOES prune: a df-aware deeper tau plus a-posteriori verification
+    (exhaustive rerun on shortfall). Depth is not K_TOP-bounded — impact
+    ladders extend tau formation to any k. The planner degrades to the
+    single-job exhaustive scan only where tau's witness argument breaks
+    (AND mode, '~less' terms) or stats are missing (pre-v2 indexes).
 
     probe governs the tau-refinement job for disjunctive multi-stopword
     shapes ("of and"): "auto" (default) runs it only when the estimated
@@ -896,6 +923,18 @@ def _write_query_metrics(wh: Warehouse, info: dict) -> None:
     )
 
 
+def read_query_metrics(spark: SparkSession, warehouse: str | Warehouse) -> DataFrame:
+    """The query_metrics table, schema-merged across all fragments.
+
+    Metrics rows accumulate one parquet file per query across engine
+    versions, so the directory legitimately mixes schemas (e.g. the
+    'plan' column appeared in v8). A bare spark.read.parquet resolves
+    ONE sampled footer and would nondeterministically drop newer
+    columns — mergeSchema unions them (absent columns read as null)."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    return spark.read.option("mergeSchema", "true").parquet(wh.path("query_metrics"))
+
+
 def search_with_stats(
     spark: SparkSession,
     warehouse: str | Warehouse,
@@ -1062,7 +1101,37 @@ def _decode_blocks_with_positions(blocks: DataFrame) -> DataFrame:
     return blocks.select("term", "doc_ids", "tfs", "doc_lens", "positions").mapInPandas(it, DECODED_POS_SCHEMA)
 
 
-def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, k: int = 10) -> DataFrame:
+def sweep_phrase_scratch(warehouse: str | Warehouse, keep: str | None = None) -> int:
+    """Remove stale phrase-query scratch dirs (<root>/_scratch/phrase_*).
+
+    phrase_search materializes two durable cut points per query; the
+    _matches dir backs the RETURNED DataFrame, so it cannot be deleted
+    until the caller is done with the result. Lifecycle: every
+    phrase_search sweeps all prior phrase_* dirs first (so repeated
+    queries leave at most one live dir, and dirs orphaned by dead
+    sessions are reclaimed), and callers that hold results across
+    queries can sweep explicitly when done. Returns dirs removed."""
+    import os as _os
+
+    from . import fsio
+
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    removed = 0
+    for p in fsio.list_glob(_os.path.join(wh.root, "_scratch", "phrase_*")):
+        if keep and _os.path.basename(p.rstrip("/")).startswith(_os.path.basename(keep)):
+            continue
+        fsio.remove(p, recursive=True)
+        removed += 1
+    return removed
+
+
+def phrase_search(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    phrase: str,
+    k: int = 10,
+    scratch_dir: str | None = None,
+) -> DataFrame:
     """Exact-phrase BM25 top-k over the positional index, in two phases:
 
     Phase 1 (cheap): the RAREST term's blocks are ids-decoded first (the
@@ -1086,9 +1155,15 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
     No driver-side materialization at any k, and no localCheckpoint
     (an executor loss would kill the query on a real cluster): the two
     cut points — rare-term ids and the matches relation — materialize
-    as warehouse scratch parquet, so recomputation-on-failure restarts
-    from durable storage. Returns DataFrame(doc_id, score, phrase_tf)
-    ordered (score DESC, doc_id ASC), limited to k.
+    as scratch parquet, so recomputation-on-failure restarts from
+    durable storage. Scratch lives under <warehouse>/_scratch by
+    default; pass scratch_dir to keep a read-only warehouse untouched
+    (any Spark-writable location). Stale scratch from prior queries is
+    swept on entry (sweep_phrase_scratch), so repeated phrase queries
+    leave at most ONE live dir — callers must consume a result before
+    issuing the next phrase query, or pass distinct scratch_dirs.
+    Returns DataFrame(doc_id, score, phrase_tf) ordered (score DESC,
+    doc_id ASC), limited to k.
     """
     import os as _os
 
@@ -1109,7 +1184,13 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
         return empty  # a phrase containing an absent term matches nothing
     order = sorted(uniq, key=lambda t: (dfs[t], t))  # rarest term first
     rare, others = order[0], order[1:]
-    scratch = _os.path.join(wh.root, "_scratch", f"phrase_{uuid.uuid4().hex[:12]}")
+    scratch_root = scratch_dir or _os.path.join(wh.root, "_scratch")
+    if scratch_dir is None:
+        sweep_phrase_scratch(wh)
+    else:
+        for p in fsio.list_glob(_os.path.join(scratch_root, "phrase_*")):
+            fsio.remove(p, recursive=True)
+    scratch = _os.path.join(scratch_root, f"phrase_{uuid.uuid4().hex[:12]}")
 
     # ---- phase 1a: rare-term ids (with block provenance), durable ----
     ids_rare = _decode_blocks_ids_prov(_postings_for(spark, wh, st, [rare]))
@@ -1120,7 +1201,19 @@ def phrase_search(spark: SparkSession, warehouse: str | Warehouse, phrase: str, 
     # ---- phase 1b: range-prune + ids-decode the other terms ----
     if others:
         oblocks = _postings_for(spark, wh, st, others)
-        if dfs[rare] <= 200_000:
+        # Cost-based gate: the range semi-join is a broadcast nested loop
+        # (df_rare candidates x n_other_blocks ranges), so its cost is the
+        # PRODUCT of the two sides — both known driver-side. A rare df
+        # alone is not enough: against a hot other-term with many blocks
+        # ("zyzzyva the") the BNLJ probes df_rare * n_blocks pairs while
+        # saving at most n_blocks * block_size decoded postings, and
+        # decoding everything is cheaper past _PHRASE_BNLJ_MAX probes.
+        obstats = _term_block_stats(spark, st, wh, others)
+        n_other_blocks = sum(b["n_blocks"] for b in obstats.values()) if len(obstats) == len(others) else None
+        bnlj_ok = dfs[rare] <= 200_000 and (
+            n_other_blocks is None or dfs[rare] * n_other_blocks <= _PHRASE_BNLJ_MAX
+        )
+        if bnlj_ok:
             # block-range semi-join on metadata only; the broadcast side
             # is bounded by the rarest df (gate above — beyond it the
             # nested-loop probe would cost more than the decode it saves)

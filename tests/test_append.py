@@ -183,3 +183,46 @@ def test_append_crash_atomicity_and_idempotency(spark, tmp_path):
     assert catalog.read_table(spark, root, "docs").filter("url = 'u'").count() == 0
     n_after = wh.corpus_stats(spark)["n_docs"]
     assert n_after == n_docs_before + N_B + 6  # the appended pages, once
+
+
+def test_pre_v8_layout_queries_and_append_refuses(spark, tmp_path):
+    """ADVICE r3 (medium): a warehouse whose postings table has no 'kind'
+    partition (pre-v8 layout) must still answer queries — the kind filter
+    is gated on column presence, like the impact_terms/block_stats
+    fallbacks — and append_index must refuse with a rebuild-required
+    error instead of committing a segment whose schema would poison
+    read_table's union AFTER the commit."""
+    import shutil
+
+    from lsearch_spark import query as Q
+    from lsearch_spark.build import INDEX_FORMAT
+
+    root = str(tmp_path / "oldwh")
+    wh = build_index(
+        spark, pages_df(spark, 60), root,
+        n_buckets=2, block_size=16, hot_df=16, n_salts=2, input_id="old60",
+    )
+    want = search(spark, wh, "biology the", k=5).collect()
+
+    # doctor the warehouse into a pre-v8 shape: postings without the kind
+    # partition, no impact_terms table, an older format fingerprint
+    tmp_old = str(tmp_path / "postings_old")
+    spark.read.parquet(wh.path("postings")).filter(F.col("kind") == 0).drop(
+        "kind"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(tmp_old)
+    shutil.rmtree(wh.path("postings"))
+    shutil.move(tmp_old, wh.path("postings"))
+    shutil.rmtree(wh.path("impact_terms"), ignore_errors=True)
+    m = wh.read_manifest("blocks")
+    m["fingerprint"] = m["fingerprint"].replace(f"|v{INDEX_FORMAT}|", "|v7|")
+    wh.write_manifest("blocks", m)
+    Q.invalidate_cache(root)
+
+    got = search(spark, wh, "biology the", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    with pytest.raises(ValueError, match="older index format"):
+        append_index(spark, _pages_b(spark), wh, from_html=False)
+    # the refusal must leave nothing committed
+    assert int((wh.read_manifest("config") or {}).get("n_appends", 0) or 0) == 0

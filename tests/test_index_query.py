@@ -11,7 +11,7 @@ from lsearch_spark import codec
 from lsearch_spark.build import Warehouse, build_index
 from lsearch_spark.corpus import QUERIES, make_pages, pages_df
 from lsearch_spark.oracle import PyIndex, bm25_topk, build_index as py_build
-from lsearch_spark.query import search
+from lsearch_spark.query import read_query_metrics, search
 
 N_DOCS = 300  # +6 edge rows
 
@@ -156,7 +156,7 @@ def test_pruned_stopword_decodes_fewer_blocks(spark, wh, pyidx):
     assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
     assert info_e["blocks_decoded"] == info_e["blocks_total"], info_e
     assert info_p["tau"] is not None and info_e["tau"] is None
-    qm = spark.read.parquet(wh.path("query_metrics"))
+    qm = read_query_metrics(spark, wh)
     assert qm.filter(F.col("query") == "the").count() >= 2
     assert {"blocks_decoded", "blocks_total", "wall_ms", "postings_decoded"} <= set(qm.columns)
 
@@ -307,6 +307,57 @@ def test_batch_search_with_stats(spark, wh, pyidx):
 
     rows, info = batch_search_with_stats(spark, wh, {"a": "biology", "b": "the"}, k=5)
     assert info["n_queries"] == 2 and info["rows_out"] == len(rows) > 0
-    qm = spark.read.parquet(wh.path("query_metrics"))
+    qm = read_query_metrics(spark, wh)
     assert qm.filter(F.col("query").startswith("batch:a:")).count() >= 1
     assert qm.filter(F.col("query").startswith("batch:b:")).count() >= 1
+
+
+def test_phrase_scratch_lifecycle(spark, wh, pyidx):
+    """ADVICE r3: phrase_search used to leak one _scratch/phrase_* dir per
+    query. Now every query sweeps prior scratch on entry, so repeated
+    queries leave at most ONE live dir, and sweep_phrase_scratch clears
+    the last one."""
+    import glob
+    import os
+
+    from lsearch_spark.query import phrase_search, sweep_phrase_scratch
+
+    for phrase in ["quantum flux", "the biology", "quantum flux"]:
+        phrase_search(spark, wh, phrase, k=5).collect()
+        live = glob.glob(os.path.join(wh.root, "_scratch", "phrase_*"))
+        assert len(live) <= 1, live
+    assert sweep_phrase_scratch(wh) <= 1
+    assert glob.glob(os.path.join(wh.root, "_scratch", "phrase_*")) == []
+
+
+def test_phrase_scratch_dir_outside_warehouse(spark, wh, pyidx, tmp_path):
+    """Read-only deployments: scratch_dir routes the durable cut points
+    outside the warehouse root entirely."""
+    import glob
+    import os
+
+    from lsearch_spark.oracle import phrase_topk
+    from lsearch_spark.query import phrase_search
+
+    sd = str(tmp_path / "scr")
+    want = phrase_topk(pyidx, "quantum flux", k=5)
+    got = phrase_search(spark, wh, "quantum flux", k=5, scratch_dir=sd).collect()
+    assert_rank_identical(got, [(d, s) for d, s in want])
+    assert glob.glob(os.path.join(wh.root, "_scratch", "phrase_*")) == []
+    assert glob.glob(os.path.join(sd, "phrase_*"))
+
+
+def test_phrase_bnlj_gate_skips_on_hot_product(spark, whbig, pyidx_big, monkeypatch):
+    """VERDICT r3 #7: the range semi-join gate is cost-based on
+    df_rare * n_other_blocks, both known driver-side. Forcing the cap to
+    0 exercises the decode-all path against a hot other-term — results
+    must stay rank-identical to the oracle."""
+    from lsearch_spark import query as Q
+    from lsearch_spark.oracle import phrase_topk
+    from lsearch_spark.query import phrase_search
+
+    monkeypatch.setattr(Q, "_PHRASE_BNLJ_MAX", 0)
+    for phrase in ["the glacier", "tiebreak quantum"]:
+        want = phrase_topk(pyidx_big, phrase, k=10)
+        got = phrase_search(spark, whbig, phrase, k=10).collect()
+        assert_rank_identical(got, [(d, s) for d, s in want])

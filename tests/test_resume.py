@@ -79,11 +79,11 @@ def test_warehouse_on_hadoop_filesystem(spark, tmp_path):
     assert metrics0 > 0
     build_index(spark, pages_df(spark, 50), root, **kw)  # resume: full skip
     assert spark.read.parquet(wh.path("build_metrics")).count() == metrics0
-    from lsearch_spark.query import search_with_stats
+    from lsearch_spark.query import read_query_metrics, search_with_stats
 
     rows, info = search_with_stats(spark, wh, "biology", k=5)
     assert rows and info["blocks_decoded"] > 0
-    assert spark.read.parquet(wh.path("query_metrics")).count() >= 1
+    assert read_query_metrics(spark, wh).count() >= 1
 
 
 def test_config_change_forces_rebuild(spark, tmp_path):
