@@ -829,6 +829,8 @@ def batch_search(
     queries: dict[str, str] | list[str],
     k: int = 10,
     mode: str = "or",
+    prune: bool = True,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Amortized multi-query BM25: ONE Spark job scores EVERY query.
 
@@ -837,8 +839,26 @@ def batch_search(
     queries per pass (the realistic 100 TB shape) should batch instead:
     a single partition-pruned scan decodes the union of all query terms
     once, a tiny broadcast (query_id, term) map fans scores out per
-    query, and per-query top-k comes from one window. Positive terms
-    only ('-'/'~' operators need per-query anti-joins — use search()).
+    query, and per-query top-k comes from one window.
+
+    prune=True (default, OR mode only) applies block-max WAND to the
+    SHARED scan: each query forms its own per-term thetas exactly as
+    search() does, and a block of term t survives when ANY query keeps
+    it — theta_union[t] = min over queries of theta_t(q). Per query the
+    kept set is a superset of its single-query kept set, so the
+    single-query exactness proof applies verbatim: every doc with true
+    score >= tau_q keeps all its blocks (exact score), every other doc's
+    partial score stays strictly below tau_q, and the per-query window
+    top-k is exact. Hot terms route to their impact-ordered copies; the
+    planner falls back to the plain exhaustive scan when the ladder
+    estimators show the thetas keep most blocks anyway.
+
+    '-term' exclusions are supported via a per-query LEFT ANTI join
+    after the shared aggregation (ids-only decode of the union of
+    excluded terms, fanned out per query by a broadcast map). Queries
+    with exclusions run unpruned within the batch — search()'s
+    a-posteriori tau verification has no batched analog. '~less' terms
+    are not supported; use search().
 
     Returns DataFrame(query_id, doc_id, score): per-query top-k, ordered
     (query_id ASC, score DESC, doc_id ASC).
@@ -848,19 +868,22 @@ def batch_search(
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
     qmap: dict[str, list[str]] = {}
+    qneg: dict[str, list[str]] = {}
     items = queries.items() if isinstance(queries, dict) else ((f"q{i}", q) for i, q in enumerate(queries))
     for qid, q in items:
         pos, neg, less = parse_query(q)
-        if neg or less:
-            raise ValueError(f"batch_search supports positive terms only; query {qid!r} has -/~ operators")
+        if less:
+            raise ValueError(f"batch_search does not support '~' terms; query {qid!r} — use search()")
         qmap[str(qid)] = pos
+        qneg[str(qid)] = neg
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
     all_terms = sorted({t for ts in qmap.values() for t in ts})
+    all_neg = sorted({t for ts in qneg.values() for t in ts})
     if not all_terms:
         return empty
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    dfs = _term_dfs(spark, st, wh, all_terms)
+    dfs = _term_dfs(spark, st, wh, all_terms + all_neg)
     live = sorted(t for t in all_terms if t in dfs)
     if not live:
         return empty
@@ -871,7 +894,64 @@ def batch_search(
         return empty
     qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
 
-    scored = _decode_score_terms(_postings_for(spark, wh, st, live), idf_map, avgdl)
+    blocks = _postings_for(spark, wh, st, live)
+    plan, blocks_total = "exhaustive", None
+    if prune and mode == "or":
+        bstats = _term_block_stats(spark, st, wh, live)
+        if all(t in bstats for t in live):
+            ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
+            bsz = int(st["cfg"].get("block_size") or 128)
+            ninf = float("-inf")
+            theta_u: dict[str, float] = {}
+            for qid, ts in qmap.items():
+                lq = [t for t in ts if t in dfs]
+                if not lq:
+                    continue
+                thetas = None
+                if not qneg[qid]:
+                    thetas, _tau = _wand_thetas(
+                        lq, {t: idf_map[t] for t in lq}, bstats, k, ratio, bsz
+                    )
+                for t in lq:
+                    theta_u[t] = min(theta_u.get(t, float("inf")),
+                                     thetas[t] if thetas is not None else ninf)
+            imp = _impact_terms(spark, st, wh)
+            est_kept = sum(_est_kept_blocks(bstats[t], theta_u[t], t in imp) for t in live)
+            blocks_total = sum(bstats[t]["n_blocks"] for t in live)
+            if est_kept < 0.6 * blocks_total:
+                sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
+                hot_live = [t for t in live if t in imp]
+                cold_live = [t for t in live if t not in imp]
+                parts = []
+                if cold_live:
+                    bks = sorted({st["buckets"][t] for t in cold_live})
+                    parts.append(
+                        st["postings_rel"]
+                        .filter(F.col("bucket").isin(bks) & _block_filter(cold_live, theta_u))
+                        .select(*sel)
+                    )
+                if hot_live:
+                    bks = sorted({st["buckets"][t] for t in hot_live})
+                    parts.append(
+                        st["impact_rel"]
+                        .filter(F.col("bucket").isin(bks) & _block_filter(hot_live, theta_u))
+                        .select(*sel)
+                    )
+                blocks = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+                plan = "routed-batch"
+    if _stats is not None:
+        _stats.update({"plan": plan, "blocks_total": blocks_total})
+        from pyspark.sql import Observation
+
+        obs = Observation(f"bstats_{uuid.uuid4().hex[:12]}")
+        blocks = blocks.observe(
+            obs,
+            F.count(F.lit(1)).alias("blocks_decoded"),
+            F.sum("n_docs").alias("postings_decoded"),
+        )
+        _stats["_obs"] = obs
+
+    scored = _decode_score_terms(blocks, idf_map, avgdl)
     joined = scored.join(F.broadcast(qterms), "term")
     agg = joined.groupBy("query_id", "doc_id").agg(
         F.sum("tscore").alias("score"),
@@ -880,6 +960,14 @@ def batch_search(
     )
     if mode == "and":
         agg = agg.filter(F.col("n_hit") == F.col("n_terms"))
+    neg_pairs = [(qid, t) for qid, ts in qneg.items() for t in ts if t in dfs]
+    if neg_pairs:
+        nq = spark.createDataFrame(neg_pairs, "query_id string, term string")
+        nids = _decode_blocks_ids_prov(
+            _postings_for(spark, wh, st, sorted({t for _, t in neg_pairs}))
+        ).select("term", "doc_id")
+        excl = nids.join(F.broadcast(nq), "term").select("query_id", "doc_id")
+        agg = agg.join(excl, ["query_id", "doc_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rn", F.row_number().over(w))
@@ -977,6 +1065,7 @@ def batch_search_with_stats(
     queries: dict[str, str] | list[str],
     k: int = 10,
     mode: str = "or",
+    prune: bool = True,
 ) -> tuple[list, dict]:
     """batch_search, instrumented: ONE job for every query, plus one
     query_metrics row per batch query (shared blocks/wall — the batch
@@ -987,7 +1076,8 @@ def batch_search_with_stats(
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     items = list(queries.items()) if isinstance(queries, dict) else [(f"q{i}", q) for i, q in enumerate(queries)]
     obs = Observation(f"batch_{uuid.uuid4().hex[:12]}")
-    out = batch_search(spark, wh, dict(items), k=k, mode=mode)
+    binfo: dict = {}
+    out = batch_search(spark, wh, dict(items), k=k, mode=mode, prune=prune, _stats=binfo)
     out = out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
     t0 = time.time()
     rows = out.collect()
@@ -995,7 +1085,17 @@ def batch_search_with_stats(
     per_q: dict[str, int] = {}
     for r in rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
-    info = {"n_queries": len(items), "rows_out": int(obs.get["rows_out"] or 0), "wall_ms": wall}
+    bobs = binfo.pop("_obs", None)
+    if bobs is not None:
+        vals = bobs.get
+        binfo["blocks_decoded"] = int(vals["blocks_decoded"] or 0)
+        binfo["postings_decoded"] = int(vals["postings_decoded"] or 0)
+    info = {
+        "n_queries": len(items),
+        "rows_out": int(obs.get["rows_out"] or 0),
+        "wall_ms": wall,
+        **binfo,
+    }
     for qid, q in items:
         _write_query_metrics(
             wh,
@@ -1004,11 +1104,14 @@ def batch_search_with_stats(
                 "terms": parse_query(q)[0],
                 "k": k,
                 "mode": mode,
-                "prune": False,
+                "prune": prune,
+                "plan": binfo.get("plan"),
                 "tau": None,
-                "blocks_total": None,
-                "blocks_decoded": None,
-                "postings_decoded": None,
+                # shared-scan attribution: blocks/postings are the BATCH
+                # totals, repeated on every row of the batch
+                "blocks_total": binfo.get("blocks_total"),
+                "blocks_decoded": binfo.get("blocks_decoded"),
+                "postings_decoded": binfo.get("postings_decoded"),
                 "rows_returned": per_q.get(str(qid), 0),
                 "wall_ms": wall,
             },
