@@ -45,6 +45,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    # the twin-based oracles (simhash/LSH VALUES lists) compute expected
+    # rows from the parquet testdata — point them at the same dir the
+    # views read so local checks at any sf stay self-consistent
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     fails, rows_only = [], []
     for name, fn in qs.items():
