@@ -195,14 +195,25 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    storage_level: str = "MEMORY_AND_DISK_DESER",
 ) -> DataFrame:
     """Near-dup pairs by SimHash. Candidates via 4x16-bit band buckets
     (any pair within hamming<=3 of 64 bits shares at least one exact
     16-bit quarter — pigeonhole), then exact hamming verify.
 
     max_bucket caps a quarter-bucket's size before the self-join — same
-    quadratic-blowup guard as minhash_lsh_pairs.max_bucket."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig")).cache()
+    quadratic-blowup guard as minhash_lsh_pairs.max_bucket.
+
+    storage_level persists the signatures relation between its two uses
+    (quarter explode feeds both sides of the self-join) — same knob and
+    rationale as minhash_lsh_pairs.storage_level; the default matches
+    df.cache(), at 100 TB pass "DISK_ONLY" so executor memory holds
+    shuffle state rather than a corpus-sized cache."""
+    from pyspark import StorageLevel
+
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig")).persist(
+        getattr(StorageLevel, storage_level)
+    )
     quarters = sigs.select(
         "id",
         "sig",

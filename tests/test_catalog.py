@@ -108,3 +108,33 @@ def test_iceberg_branch_plumbing(spark, monkeypatch, tmp_path):
     # nothing was written to the filesystem fallback
     import os
     assert not os.path.exists(os.path.join(root, "postings"))
+
+
+def test_iceberg_read_table_resolves_written_ident(spark, monkeypatch, tmp_path):
+    """The read half of the v2 path (VERDICT r3 #2): spark.read.table must
+    receive EXACTLY the identifier write_table constructed for the same
+    (root, name) — including the sha1-of-root namespace suffix that keeps
+    same-basename warehouses from clobbering each other."""
+    import hashlib
+    import os
+
+    seen = {}
+    sentinel = object()
+
+    class FakeReader:
+        def table(self, ident):
+            seen["ident"] = ident
+            return sentinel
+
+    monkeypatch.setattr(catalog, "iceberg_catalog", lambda s: "ice")
+    monkeypatch.setattr(type(spark), "read", property(lambda self: FakeReader()))
+    root = str(tmp_path / "wh")
+    out = catalog.read_table(spark, root, "term_stats")
+    assert out is sentinel
+    assert seen["ident"] == catalog._ident("ice", root, "term_stats")
+    ns = seen["ident"].split(".")[1]
+    digest = hashlib.sha1(os.path.normpath(root).encode()).hexdigest()[:8]
+    assert ns.startswith("lsearch_wh_") and ns.endswith("_" + digest)
+    # a different root with the SAME basename reads a different namespace
+    other = catalog._ident("ice", str(tmp_path / "b" / "wh"), "term_stats")
+    assert other != seen["ident"]

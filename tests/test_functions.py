@@ -156,6 +156,9 @@ def test_simhash_finds_dups(spark, pages):
     tie_ids = tuple(sorted(make_pages(150).query("text == 'tiebreak quantum flux common signal'")["doc_id"]))
     assert tie_ids in {(r["a_id"], r["b_id"]) for r in pairs}
     assert all(r["hamming"] <= 2 for r in pairs)
+    # storage_level knob (VERDICT r3 #8): identical results off-default
+    disk = dedup.simhash_near_dups(pages, max_hamming=2, storage_level="DISK_ONLY").collect()
+    assert sorted(map(tuple, disk)) == sorted(map(tuple, pairs))
 
 
 def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
