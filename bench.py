@@ -123,6 +123,39 @@ def _build_child(cores: int, src: str, wh_dir: str) -> None:
     spark.stop()
 
 
+def _memcpy_worker(args) -> float:
+    """Copy a buffer repeatedly for ~dur seconds; returns bytes/sec."""
+    mb, dur = args
+    import numpy as np
+
+    src = np.random.RandomState(0).bytes(mb << 20)
+    a = np.frombuffer(src, dtype=np.uint8).copy()
+    b = np.empty_like(a)
+    n, t0 = 0, time.time()
+    while time.time() - t0 < dur:
+        np.copyto(b, a)
+        n += 1
+    return (n * a.nbytes) / (time.time() - t0)
+
+
+def memcpy_control(workers=(1, 4, 16), mb: int = 256, dur: float = 1.5) -> dict:
+    """Spark-free memory-bandwidth probe, run in the SAME session as the
+    measured builds (VERDICT r3 #1): if a run's build/query numbers are
+    degraded, this control separates 'engine got slower' from 'the
+    sandbox is in a throttled phase'. Known-good reference on this box:
+    ~4.8 GB/s @1w, ~10.4 @4w, ~29.7 @16w (4->16 efficiency ~0.71)."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in workers:
+        with mp.Pool(w) as pool:
+            rates = pool.map(_memcpy_worker, [(mb, dur)] * w)
+        out[str(w)] = round(sum(rates) / 1e9, 2)
+    lo_w, hi_w = str(workers[1]), str(workers[-1])
+    out["eff_4_16"] = round((out[hi_w] / out[lo_w]) / (workers[-1] / workers[1]), 3)
+    return out
+
+
 def _build_once(cores: int, src: str, wh_dir: str) -> tuple[float, dict]:
     """One clean-JVM build in a subprocess; returns (seconds, stage walls)."""
     import subprocess
@@ -164,35 +197,48 @@ def main() -> None:
     # biases one side of the ratio; alternating decorrelates the noise
     # (identical 4-core builds measured 36..71s across a day).
     best: dict[int, tuple[float, dict]] = {c: (float("inf"), {}) for c in pair}
+    build_reps: dict[int, list[float]] = {c: [] for c in pair}
     for rep in range(REPS):
         for cores in pair:
             if SETTLE_S:
                 time.sleep(SETTLE_S)
             wh_dir = f"{SHM}/lsearch_bench_wh_{n_docs}_{cores}"
             sec, walls = _build_once(cores, src, wh_dir)
+            build_reps[cores].append(round(sec, 3))
             if sec < best[cores][0]:
                 best[cores] = (sec, walls)
     (sec_lo, walls_lo), (sec_hi, walls_hi) = best[lo], best[hi]
     thru_lo, thru_hi = n_docs / sec_lo, n_docs / sec_hi
     efficiency = (thru_hi / thru_lo) / (hi / lo)
     wh_hi = f"{SHM}/lsearch_bench_wh_{n_docs}_{hi}"
+    # same-session environment control (Spark-free): attributes any
+    # degradation vs the known-good reference numbers to the machine
+    control = memcpy_control()
 
-    # query latencies on the hi-parallelism index, warm session
+    # query latencies on the hi-parallelism index, warm session.
+    # Protocol (VERDICT r3 #1): per-query MEDIAN of REPS, with the
+    # exhaustive and pruned runs INTERLEAVED inside each rep — the
+    # sandbox's reclaim/steal storms last seconds-to-minutes, so
+    # medians over interleaved reps decorrelate the noise that made
+    # r3's single-shot numbers swing 1.7-3x between sessions.
     spark = get_spark(app="bench-query", cores=hi, shuffle_partitions=2 * hi)
-    q_secs: dict[str, float] = {}
-    pruned: list[float] = []
+    q_reps: dict[str, list[float]] = {}
+    pruned_reps: dict[str, list[float]] = {}
     try:
         for q in QUERIES:  # warm-up pass (plans, code-gen, page cache)
             search(spark, wh_hi, q["query"], k=q["k"], prune=False).collect()
             search(spark, wh_hi, q["query"], k=q["k"], prune=True).collect()
-        for q in QUERIES:
-            t0 = time.time()
-            search(spark, wh_hi, q["query"], k=q["k"], prune=False).collect()
-            q_secs[f"q{q['query_id']}"] = round(time.time() - t0, 4)
-        for q in QUERIES:
-            t0 = time.time()
-            search(spark, wh_hi, q["query"], k=q["k"], prune=True).collect()
-            pruned.append(time.time() - t0)
+        for _rep in range(REPS):
+            for q in QUERIES:
+                qid = f"q{q['query_id']}"
+                t0 = time.time()
+                search(spark, wh_hi, q["query"], k=q["k"], prune=False).collect()
+                q_reps.setdefault(qid, []).append(time.time() - t0)
+                t0 = time.time()
+                search(spark, wh_hi, q["query"], k=q["k"], prune=True).collect()
+                pruned_reps.setdefault(qid, []).append(time.time() - t0)
+        q_secs = {qid: round(statistics.median(v), 4) for qid, v in q_reps.items()}
+        pruned = [statistics.median(v) for v in pruned_reps.values()]
         # pruning-effectiveness evidence (blocks decoded vs total) on the
         # shapes that exercise each planner path: single stopword (tau
         # from top_wands), stopword disjunction (probe + impact prefix),
@@ -250,6 +296,10 @@ def main() -> None:
         "pruning": prune_stats,
         "stage_walls_lo": walls_lo,
         "stage_walls_hi": walls_hi,
+        "build_reps_lo": build_reps[lo],
+        "build_reps_hi": build_reps[hi],
+        "query_protocol": f"per-query median of {REPS} interleaved exhaustive/pruned reps",
+        "control_memcpy_gbps": control,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
