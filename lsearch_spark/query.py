@@ -245,7 +245,9 @@ def _tf_dl_from_batch(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return tfs, dls
 
 
-def _decode_score_partials(blocks: DataFrame, idf_map: dict[str, float], avgdl: float) -> DataFrame:
+def _decode_score_partials(
+    blocks: DataFrame, idf_map: dict[str, float], avgdl: float, excl_bc=None
+) -> DataFrame:
     """Fused decode + BM25 + per-batch aggregation: emits (doc_id, score,
     hits) PARTIALS instead of per-posting rows. Scoring runs in the same
     numpy pass that decoded the varints, the repeated term-string column
@@ -256,10 +258,16 @@ def _decode_score_partials(blocks: DataFrame, idf_map: dict[str, float], avgdl: 
     1.19M posting rows -> partial rows bounded by distinct docs/batch).
     The JVM side finishes with groupBy(doc_id).sum — the same partial/
     final split Spark's own aggregate would do, just with the map side
-    inside the decode kernel."""
+    inside the decode kernel.
+
+    excl_bc: optional broadcast of a SORTED np.int64 exclusion array
+    (the '-term' docset fast path): matching postings are dropped right
+    after decode via one searchsorted per batch — set-identical to the
+    LEFT ANTI join it replaces, minus the join's shuffle."""
     ad = max(avgdl, 1e-9)
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex = excl_bc.value if excl_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -268,6 +276,14 @@ def _decode_score_partials(blocks: DataFrame, idf_map: dict[str, float], avgdl: 
             tfs, dls = _tf_dl_from_batch(pdf)
             idf = np.repeat(pdf["term"].map(idf_map).to_numpy(np.float64), nd)
             tsc = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / ad))
+            if ex is not None and ex.size:
+                pos = np.searchsorted(ex, ids)
+                pos[pos == ex.size] = 0
+                keep = ex[pos] != ids
+                if not keep.all():
+                    ids, tsc = ids[keep], tsc[keep]
+                if ids.size == 0:
+                    continue
             u, inv = np.unique(ids, return_inverse=True)
             yield pd.DataFrame(
                 {
@@ -361,6 +377,38 @@ def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
     # no distinct(): LEFT ANTI is set-semantics already — deduping a
     # stopword's half-million ids would add a full shuffle for nothing
     return _decode_blocks_ids_only(_postings_for(spark, wh, st, neg))
+
+
+# Negation docset fast path ceiling: below this many excluded postings
+# the driver fetches the raw doc_ids blobs in ONE column-pruned job
+# (~2.5 bytes/id compressed), decodes them vectorized, and broadcasts
+# the sorted id array into the positive side's decode kernel — killing
+# both the executor-side ids decode of the excluded term's blocks and
+# the anti-join shuffle (measured ~1s of the "-the" wall at 600k docs).
+# Above it (a >90%-df exclusion at true corpus scale) the distributed
+# LEFT ANTI is the plan that fits executor/driver memory.
+_NEG_DOCSET_MAX_POSTINGS = 8_000_000
+
+
+def _neg_docset(spark, wh, st, neg: list[str], dfs: dict[str, int]):
+    """(broadcast sorted np.int64 exclusion ids) | None when over the
+    size gate. Memoized per warehouse + term set — repeat queries with
+    the same exclusion reuse the broadcast."""
+    live_neg = sorted(t for t in neg if t in dfs)
+    if not live_neg:
+        return None
+    if sum(dfs[t] for t in live_neg) > _NEG_DOCSET_MAX_POSTINGS:
+        return None
+    key = tuple(live_neg)
+    cache = st.setdefault("docset_bc", {})
+    if key in cache:
+        return cache[key]
+    rows = _postings_for(spark, wh, st, live_neg).select("doc_ids").collect()
+    parts = [decode_ids_signed(bytes(r["doc_ids"])) for r in rows]
+    ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    bc = spark.sparkContext.broadcast(ids.astype(np.int64))
+    cache[key] = bc
+    return bc
 
 
 def _agg_topk(partials: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
@@ -642,7 +690,13 @@ def search(
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
     blocks = _postings_for(spark, wh, st, live)
-    neg_docs = _neg_docs(spark, wh, st, neg)
+    # '-term' exclusion: docset fast path (driver-decoded broadcast ids,
+    # applied inside the decode kernel) under the size gate, else the
+    # distributed LEFT ANTI (the 100 TB plan for huge exclusions)
+    excl_bc = _neg_docset(spark, wh, st, neg, dfs) if neg else None
+    neg_docs = None if excl_bc is not None else _neg_docs(spark, wh, st, neg)
+    if _stats is not None and neg:
+        _stats["neg_plan"] = "docset-kernel" if excl_bc is not None else "anti-join"
 
     tau = float("-inf")
     pruned = False
@@ -757,7 +811,7 @@ def search(
         )
         _stats["_obs"] = obs
 
-    partials = _decode_score_partials(blocks, idf_map, avgdl)
+    partials = _decode_score_partials(blocks, idf_map, avgdl, excl_bc)
     if live_less:
         less_idf = {t: _idf(n_docs, dfs[t]) for t in live_less}
         less_partials = _decode_score_partials(
@@ -811,7 +865,9 @@ def search(
                     F.sum("n_docs").alias("postings_decoded"),
                 )
                 _stats["_obs"] = obs
-            topk = _agg_topk(_decode_score_partials(blocks, idf_map, avgdl), len(live), mode, neg_docs, k)
+            topk = _agg_topk(
+                _decode_score_partials(blocks, idf_map, avgdl, excl_bc), len(live), mode, neg_docs, k
+            )
 
     if with_url:
         docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "url")

@@ -406,3 +406,23 @@ def test_phrase_bnlj_gate_skips_on_hot_product(spark, whbig, pyidx_big, monkeypa
         want = phrase_topk(pyidx_big, phrase, k=10)
         got = phrase_search(spark, whbig, phrase, k=10).collect()
         assert_rank_identical(got, [(d, s) for d, s in want])
+
+
+def test_negation_docset_vs_antijoin(spark, whbig, pyidx_big, monkeypatch):
+    """The '-term' docset fast path (driver-decoded broadcast exclusion
+    ids applied inside the decode kernel) must be set-identical to the
+    distributed LEFT ANTI plan it replaces, on every negation shape."""
+    from lsearch_spark import query as Q
+    from lsearch_spark.query import search_with_stats
+
+    shapes = ["the -biology", "physics -the", "biology -the -chemistry"]
+    wants = {q: bm25_topk(pyidx_big, q, k=10) for q in shapes}
+    for q in shapes:
+        rows_d, info_d = search_with_stats(spark, whbig, q, k=10, prune=True)
+        assert info_d["neg_plan"] == "docset-kernel", info_d
+        assert_rank_identical(rows_d, wants[q])
+    monkeypatch.setattr(Q, "_NEG_DOCSET_MAX_POSTINGS", 0)
+    for q in shapes:
+        rows_a, info_a = search_with_stats(spark, whbig, q, k=10, prune=True)
+        assert info_a["neg_plan"] == "anti-join", info_a
+        assert_rank_identical(rows_a, wants[q])
