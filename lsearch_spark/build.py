@@ -773,10 +773,24 @@ def build_index(
         # The docs token table compresses ~10x vs the raw pages, so the
         # default split size leaves this CPU-bound kernel with barely one
         # task per core (measured: 22 partitions at 16 cores -> straggler
-        # tail). Scope the split size down for THIS scan only.
+        # tail). Scope the split size down for THIS scan only — but size
+        # it ADAPTIVELY: each mapInArrow split pays a fixed Arrow
+        # round-trip + task cost, so a hard 4MB floor at low core counts
+        # ran 6 waves of undersized tasks (measured at 600k docs/local[4]:
+        # 24x4MB splits 15.9s vs 8x16MB 8.1s; at local[16] more, smaller
+        # waves smooth skew: 48x2MB 7.3s consistent). Target ~3 tasks
+        # per core, bounded [2MB, 32MB].
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         try:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+            try:
+                docs_bytes = sum(
+                    sz for _, sz in fsio.file_sizes(os.path.join(wh.path("docs"), "*.parquet"))
+                )
+            except Exception:
+                docs_bytes = 0
+            par = spark.sparkContext.defaultParallelism
+            mpb = min(32 << 20, max(2 << 20, docs_bytes // (3 * par))) if docs_bytes else 4 << 20
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(mpb)))
             docs_in = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
             flat = (
                 docs_in.mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
