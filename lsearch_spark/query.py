@@ -1111,6 +1111,8 @@ def search_with_stats(
     bstats = _term_block_stats(spark, st, wh, info.get("terms") or [])
     info["blocks_total"] = int(sum(b["n_blocks"] for b in bstats.values())) or None
     info["rows_returned"] = len(rows)
+    if info.get("neg_plan"):  # e.g. "routed+docset-kernel" / "exhaustive+anti-join"
+        info["plan"] = f"{info.get('plan', 'exhaustive')}+{info['neg_plan']}"
     _write_query_metrics(wh, info)
     return rows, info
 
