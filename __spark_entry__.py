@@ -6,8 +6,10 @@ oracle_sql() (same column names, floats rounded identically on both
 sides). BM25 queries run the real engine (index build + compressed-
 block search + driver-side WAND with impact-ordered routing, probe-
 refined tau, and verified pruned negation; also batched and
-incremental-append variants) and are checked against a full BM25
-reimplementation in ANSI SQL — 39 oracle-checked entries, including
+incremental-append variants — plus a Structured-Streaming-ingested
+index whose final state shares the batch SQL oracle) and are checked
+against a full BM25 reimplementation in ANSI SQL — 40 oracle-checked
+entries, including
 FULL value oracles for the Spark-hash-specific SimHash pair list and
 LSH ANN top-k (pure-Python twins: the JVM-parity XXH64 and a left-fold
 float64 replay feed DuckDB the expected rows as VALUES), plus the
@@ -107,6 +109,47 @@ def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str = "or", prune:
     wh = _documents_wh(spark, sf_dir)
     out = search(spark, wh, query, k=10, mode=mode, prune=prune)
     return out.select("doc_id", F.round("score", 5).alias("score"))
+
+
+def _streamed_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming-ingested twin of _documents_wh: build a base index over
+    the even-doc_id half, then ingest the odd half through Structured
+    Streaming (file source, one file per micro-batch -> atomic appends
+    with the exactly-once batch marker). The final state indexes the
+    FULL documents table, so BM25 over it shares the batch SQL oracle —
+    a hash-green correctness gate for the streaming path."""
+    from lsearch_spark.build import build_index as _build
+    from lsearch_spark.streaming import stream_index
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    wh_dir = os.path.join(tempfile.gettempdir(), f"lsearch_swh_{key}")
+    marker = wh_dir + ".ok"
+    if os.path.exists(marker):
+        return wh_dir
+    pages = (
+        _docs(spark, sf_dir)
+        .withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
+        .withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .select("doc_id", "url", "warc_ts", "html", "text", "lang")
+    )
+    _build(
+        spark, pages.filter(F.col("doc_id") % 2 == 0), wh_dir,
+        n_buckets=4, block_size=64, hot_df=256, n_salts=4,
+        run_id="sbase", input_id=f"{sf_dir}-even", resume=False, from_html=False,
+    )
+    landing = os.path.join(tempfile.gettempdir(), f"lsearch_sland_{key}")
+    odd = pages.filter(F.col("doc_id") % 2 == 1)
+    odd.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode("overwrite").parquet(landing)
+    odd.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(pages.schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    q = stream_index(
+        spark, stream, wh_dir, wh_dir + "_ckpt",
+        from_html=False, trigger={"availableNow": True},
+    )
+    q.awaitTermination(600)
+    open(marker, "w").write("ok")
+    return wh_dir
 
 
 _BM25_SQL = """
@@ -282,6 +325,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 5).alias("score"))
 
     q["bm25_appended_top10"] = _bm25_appended
+
+    def _bm25_streamed(s, d):
+        from lsearch_spark.query import search as _search
+
+        wh = _streamed_wh(s, d)
+        return _search(s, wh, "data query", k=10).select(
+            "doc_id", F.round("score", 5).alias("score")
+        )
+
+    q["bm25_streamed_top10"] = _bm25_streamed
 
     def _phrase_docs(s, d):
         from lsearch_spark.query import phrase_search
@@ -586,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_stopword_pair_top10": _bm25_sql(["batch", "small"]),
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
+        "bm25_streamed_top10": _bm25_sql(["data", "query"]),
         "bm25_batch_top10": (
             f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(['data', 'query'])}) "
             f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_sql(['filter', 'merge'])})"

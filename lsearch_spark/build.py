@@ -1014,6 +1014,7 @@ def append_index(
     *,
     run_id: str = "append",
     from_html: bool = True,
+    commit_extra: dict | None = None,
 ) -> Warehouse:
     """Incremental SEGMENT append (Lucene-style): index new pages into an
     existing warehouse without touching existing posting blocks.
@@ -1240,6 +1241,10 @@ def append_index(
     # ---- ATOMIC COMMIT: the n_appends flip publishes the segment ----
     cfg = wh.read_manifest("config")
     cfg["n_appends"] = append_no
+    if commit_extra:
+        # caller metadata that must commit atomically WITH the segment
+        # (e.g. streaming's last_stream_batch exactly-once marker)
+        cfg.update(commit_extra)
     wh.write_manifest("config", cfg)
     wall = (time.time() - t0) * 1000
     _write_metrics(spark, wh, run_id, f"append{append_no}", [(-1, n_new, None)], wall, run_id)
