@@ -1257,3 +1257,73 @@ def append_index(
 
     invalidate_cache(wh.root)
     return wh
+
+
+def compact_index(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    dest: str | None = None,
+    *,
+    run_id: str = "compact",
+    merge_parts: int | None = None,
+) -> Warehouse:
+    """Fold a warehouse's appended segments into a fresh single-epoch
+    warehouse at `dest` (default <root>__compact) — WITHOUT re-extracting
+    or re-tokenizing the corpus.
+
+    Append/stream-heavy warehouses accumulate one `_segments/seg{n}` dir
+    per commit; the read path unions them, which is exact but adds one
+    scan leg per segment (streaming.stream_index's docstring bounds
+    this). Compaction re-runs only the post-extract build stages over
+    the UNIONED docs table: the stored token streams are the forward
+    index, so the expensive extract+tokenize pass (HTML strip, ~40% of
+    build wall) is skipped entirely — the merged docs are written into
+    `dest` along with an extract-stage manifest whose fingerprint
+    matches, and build_index(resume=True) takes it from `flat`.
+
+    Results are identical to a from-scratch build over the union corpus
+    (same doc_ids — they are stored, not recomputed; same stats; fresh
+    single-epoch WAND basis). The source warehouse is untouched; callers
+    swap paths (or point readers at `dest`) when it returns.
+    """
+    src = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    cfg = src.read_manifest("config")
+    if not cfg:
+        raise ValueError(f"no config manifest under {src.root} — nothing to compact")
+    n_buckets, block_size = int(cfg["n_buckets"]), int(cfg["block_size"])
+    hot_df, n_salts = int(cfg["hot_df"]), int(cfg["n_salts"])
+    impact_copies = bool(cfg.get("impact_copies", True))
+    epoch = int(cfg.get("n_appends", 0) or 0)
+    dst = Warehouse(dest or src.root.rstrip("/") + "__compact")
+    fsio.remove(dst.root, recursive=True)
+    fsio.mkdirs(dst.root)
+
+    t0 = time.time()
+    docs = catalog.read_table(spark, src.root, "docs")  # base + all segments
+    dt, obs = _observed(docs, "compact", F.sum(F.size("tokens")).alias("total_tokens"))
+    catalog.write_table(spark, dt, dst.root, "docs")
+    n_docs, total_tokens = int(obs.get["n_rows"]), int(obs.get["total_tokens"] or 0)
+    _write_corpus_stats(dst, n_docs, total_tokens)
+
+    # mark extract done under the SAME fingerprint build_index will
+    # compute for this (input_id, config), so resume starts at 'flat'
+    input_id = f"compact:{os.path.normpath(src.root)}:e{epoch}"
+    fingerprint = (
+        f"{input_id}|v{INDEX_FORMAT}|cfg:b{n_buckets}.bs{block_size}.h{hot_df}.s{n_salts}"
+        f".fh0.kt{K_TOP}"
+    )
+    dst.write_manifest("config", {
+        "n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df,
+        "n_salts": n_salts, "k1": K1, "b": B, "impact_copies": impact_copies,
+    })
+    dst.write_manifest("extract", {
+        "run_id": run_id, "stage": "extract", "input_id": input_id,
+        "fingerprint": fingerprint, "ok": True,
+        "wall_ms": (time.time() - t0) * 1000, "n_rows": n_docs,
+    })
+    return build_index(
+        spark, docs.limit(0), dst,
+        n_buckets=n_buckets, block_size=block_size, hot_df=hot_df, n_salts=n_salts,
+        run_id=run_id, input_id=input_id, resume=True, from_html=False,
+        merge_parts=merge_parts, impact_copies=impact_copies,
+    )

@@ -226,3 +226,21 @@ def test_pre_v8_layout_queries_and_append_refuses(spark, tmp_path):
         append_index(spark, _pages_b(spark), wh, from_html=False)
     # the refusal must leave nothing committed
     assert int((wh.read_manifest("config") or {}).get("n_appends", 0) or 0) == 0
+
+
+def test_compact_index_matches_appended(spark, awh, union_pyidx):
+    """compact_index folds all segments into a fresh single-epoch
+    warehouse WITHOUT re-tokenizing; results must equal the appended
+    warehouse (and therefore the union oracle) exactly."""
+    import os
+
+    from lsearch_spark.build import compact_index
+
+    dst = compact_index(spark, awh)
+    assert int((dst.read_manifest("config") or {}).get("n_appends", 0) or 0) == 0
+    assert not os.path.exists(os.path.join(dst.root, "_segments"))
+    assert dst.corpus_stats(spark)["n_docs"] == awh.corpus_stats(spark)["n_docs"]
+    for q in ["biology", "the -biology", "quantum flux", "tiebreak", "the"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, awh, q, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, dst, q, k=10).collect()]
+        assert a == b, q
