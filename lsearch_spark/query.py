@@ -1192,7 +1192,7 @@ def plan_summary(
     st = _wh_state(spark, wh)
     pos, neg, less = parse_query(query)
     n_docs = int(st["stats"]["n_docs"])
-    dfs = _term_dfs(spark, st, wh, pos + less)
+    dfs = _term_dfs(spark, st, wh, pos + less + neg)
     buckets = _term_buckets(spark, st, pos + neg + less)
     bstats = _term_block_stats(spark, st, wh, [t for t in pos if t in dfs]) if prune else {}
     lines = [f"query: {query!r}  k={k} mode={mode} prune={prune}  corpus n_docs={n_docs}"]
@@ -1209,7 +1209,12 @@ def plan_summary(
     for t in less:
         lines.append(f"  ~{t}: df={dfs.get(t, 0)} (negative-weight scorer)")
     for t in neg:
-        lines.append(f"  -{t}: bucket={buckets[t]} (LEFT ANTI, doc_ids-only decode)")
+        route = (
+            "broadcast docset, kernel-side exclusion"
+            if (dfs.get(t) or 0) and sum(dfs.get(x) or 0 for x in neg) <= _NEG_DOCSET_MAX_POSTINGS
+            else "LEFT ANTI, doc_ids-only decode"
+        )
+        lines.append(f"  -{t}: bucket={buckets[t]} df={dfs.get(t, 0)} ({route})")
     if prune:
         live = [t for t in pos if t in dfs]
         idf_map = {t: _idf(n_docs, dfs[t]) for t in live}

@@ -91,3 +91,31 @@ def test_deep_kth_wand_reaches_depth_beyond_any_topk_list():
     n_at_v = int((wands >= v).sum())
     assert 5000 <= n_at_v <= 4 * 5000  # sound and within the po2 slack
     assert v <= true_kth
+
+
+# --------------------------------------------------- docset exclusion kernel
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    hst.lists(hst.integers(min_value=-(2**62), max_value=2**62), max_size=60),
+    hst.lists(hst.integers(min_value=-(2**62), max_value=2**62), max_size=60),
+)
+def test_exclusion_mask_matches_isin(ids_l, ex_l):
+    """The decode kernel's searchsorted exclusion (query.py
+    _decode_score_partials) must equal np.isin set semantics for any ids
+    vs any sorted-unique exclusion array."""
+    import numpy as np
+
+    ids = np.array(ids_l, dtype=np.int64)
+    ex = np.unique(np.array(ex_l, dtype=np.int64))
+    if ex.size:
+        pos = np.searchsorted(ex, ids)
+        pos[pos == ex.size] = 0
+        keep = ex[pos] != ids
+    else:
+        keep = np.ones(ids.size, dtype=bool)
+    want = ~np.isin(ids, ex)
+    assert np.array_equal(keep, want)
