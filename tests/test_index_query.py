@@ -426,3 +426,15 @@ def test_negation_docset_vs_antijoin(spark, whbig, pyidx_big, monkeypatch):
         rows_a, info_a = search_with_stats(spark, whbig, q, k=10, prune=True)
         assert info_a["neg_plan"] == "anti-join", info_a
         assert_rank_identical(rows_a, wants[q])
+
+
+def test_negation_edge_shapes(spark, wh):
+    """Exclusion edge cases through both negation plans: excluding the
+    query term itself empties the result; an absent excluded term
+    excludes nothing."""
+    from lsearch_spark.query import search
+
+    assert search(spark, wh, "the -the", k=5).count() == 0
+    a = [tuple(r) for r in search(spark, wh, "biology", k=5).collect()]
+    b = [tuple(r) for r in search(spark, wh, "biology -absentterm", k=5).collect()]
+    assert a == b
