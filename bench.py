@@ -351,13 +351,14 @@ for hot terms (~2x work on hot merge groups, bought the 366ms pruned
 p50), and r4's adaptive flat splits clawed back 20.7 -> 17.6s.
 
 Data-scaling probe (r4, same session): doubling the corpus at fixed
-cores, 600k -> 1.2M docs at local[16]: build 16.0s -> 33.0s (2.06x for
-2x data — linear; 37.5k vs 36.4k docs/s, within 3%), while warm query
-latency grows SUBLINEARLY: pruned p50 366 -> 410ms (+12%), exhaustive
-p50 586 -> 673ms (+15%), and the stopword probe "the" still decodes
-exactly 4 blocks of a now-9363-block posting list — the block-max tau
-is corpus-size-invariant, which is the property that carries this
-design to 10^12 docs.
+cores, 600k -> 1.2M docs at local[16]: build 16.0s -> 28.1s best-of-2
+(1.76x wall for 2x data — mildly SUBLINEAR as fixed stage overheads
+amortize; 42.7k docs/s at 1.2M vs 37.5k at 600k), while warm query
+latency also grows sublinearly: pruned p50 366 -> 410ms (+12%),
+exhaustive p50 586 -> 673ms (+15%), and the stopword probe "the" still
+decodes exactly 4 blocks of a now-9363-block posting list — the
+block-max tau is corpus-size-invariant, which is the property that
+carries this design to 10^12 docs.
 
 
 Pruning note: single-strong-term queries prune to ~k blocks (exactness
