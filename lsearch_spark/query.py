@@ -700,11 +700,15 @@ def search(
 
     tau = float("-inf")
     pruned = False
-    if prune and not live_less and mode == "or":
-        # AND/'~less' can invalidate tau's k-doc witness set, so they keep
-        # the exhaustive (still single-job) plan. Negation prunes with a
+    if prune and mode == "or" and not (neg and live_less):
+        # AND keeps the exhaustive (still single-job) plan — hit-count
+        # filtering breaks tau's witness argument. Negation prunes with a
         # df-aware deeper tau and an A-POSTERIORI verification (below):
         # exactness never depends on the witnesses surviving the anti-join.
+        # '~less' prunes by LOWERING tau by the less terms' total upper
+        # bound (see below); the neg+less combination stays exhaustive
+        # (compounding both corrections buys little and complicates the
+        # verification proof).
         bstats = _term_block_stats(spark, st, wh, live)
         ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
         k_eff = k
@@ -725,6 +729,25 @@ def search(
             neg_rate = min(1.0 - 1e-9, sum(dfs.get(t) or 0 for t in neg) / max(n_docs, 1))
             k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / (1.0 - neg_rate))
         thetas, tau = _wand_thetas(live, idf_map, bstats, k_eff, ratio, int(st["cfg"].get("block_size") or 128))
+        if thetas is not None and live_less:
+            # '~less' correction: tau_base lower-bounds the k-th best
+            # POSITIVE sum (k distinct witness docs); each witness loses
+            # at most sum_t(idf_t * ub_wand_t) to the penalties, so
+            # tau_base - sum(UB_less) lower-bounds the k-th best FINAL
+            # score, and a top-k doc's positive sum >= its final >= tau.
+            # The positive-side block filter argument then applies
+            # verbatim; penalties are always decoded in full, so every
+            # kept doc's final score is exact.
+            bl = _term_block_stats(spark, st, wh, live_less)
+            if all(t in bl for t in live_less):
+                ub_corr_l = max(1.0, ratio)
+                tau -= sum(
+                    _idf(n_docs, dfs[t]) * bl[t]["ub_wand"] * ub_corr_l for t in live_less
+                )
+                ub_pos = {t: idf_map[t] * bstats[t]["ub_wand"] * ub_corr_l for t in live}
+                thetas = _thetas_for_tau(live, idf_map, ub_pos, sum(ub_pos.values()), tau, ub_corr_l)
+            else:
+                thetas, tau = None, float("-inf")
         if thetas is not None:
             ub_corr = max(1.0, ratio)
             imp = _impact_terms(spark, st, wh)
@@ -753,7 +776,7 @@ def search(
                 probe == "auto" and est_postings >= _PROBE_MIN_POSTINGS
             )
             probed = False
-            if weak and two_term_shaped and len(live) > 1 and hot_live and probe_worth:
+            if weak and two_term_shaped and len(live) > 1 and hot_live and probe_worth and not live_less:
                 probed = True
                 tau2 = _probe_tau(spark, st, hot_live, idf_map, avgdl, k_eff)
                 if tau2 > tau:

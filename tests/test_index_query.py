@@ -438,3 +438,20 @@ def test_negation_edge_shapes(spark, wh):
     a = [tuple(r) for r in search(spark, wh, "biology", k=5).collect()]
     b = [tuple(r) for r in search(spark, wh, "biology -absentterm", k=5).collect()]
     assert a == b
+
+
+def test_less_pruned_decodes_fewer_blocks(spark, whbig, pyidx_big):
+    """'~less' queries now prune the POSITIVE side (tau lowered by the
+    less terms' total upper bound): results stay rank-identical to the
+    oracle and strictly fewer positive blocks decode when the less term
+    is a STOPWORD (low idf -> small upper bound; a rare less term's huge
+    idf collapses tau and the planner correctly stays exhaustive)."""
+    from lsearch_spark.query import search_with_stats
+
+    q = "physics ~the"
+    want = bm25_topk(pyidx_big, q, k=10)
+    rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
+    assert_rank_identical(rows_p, want)
+    assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
+    rows_e, _ = search_with_stats(spark, whbig, q, k=10, prune=False)
+    assert [tuple(r) for r in rows_p] == [tuple(r) for r in rows_e]
