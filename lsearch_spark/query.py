@@ -653,10 +653,12 @@ def search(
     the routed/probed plan and the plain exhaustive scan per query
     (whichever the ladder estimators prove cheaper). Negation ('-term')
     DOES prune: a df-aware deeper tau plus a-posteriori verification
-    (exhaustive rerun on shortfall). Depth is not K_TOP-bounded — impact
-    ladders extend tau formation to any k. The planner degrades to the
-    single-job exhaustive scan only where tau's witness argument breaks
-    (AND mode, '~less' terms) or stats are missing (pre-v2 indexes).
+    (exhaustive rerun on shortfall). '~less' terms prune too (tau is
+    lowered by the less terms' total upper bound). Depth is not
+    K_TOP-bounded — impact ladders extend tau formation to any k. The
+    planner degrades to the single-job exhaustive scan only where tau's
+    witness argument breaks (AND mode, neg+less combined) or stats are
+    missing (pre-v2 indexes).
 
     probe governs the tau-refinement job for disjunctive multi-stopword
     shapes ("of and"): "auto" (default) runs it only when the estimated
