@@ -5,10 +5,11 @@ testdata tables; every SQL-expressible operator has a DuckDB oracle in
 oracle_sql() (same column names, floats rounded identically on both
 sides). BM25 queries run the real engine (index build + compressed-
 block search + driver-side WAND with impact-ordered routing, probe-
-refined tau, and verified pruned negation; also batched and
+refined tau, and verified pruned negation; also batched (full
+operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — 40 oracle-checked
+against a full BM25 reimplementation in ANSI SQL — 41 oracle-checked
 entries, including
 FULL value oracles for the Spark-hash-specific SimHash pair list and
 LSH ANN top-k (pure-Python twins: the JVM-parity XXH64 and a left-fold
@@ -184,6 +185,30 @@ def _bm25_sql(terms: list[str], mode: str = "or") -> str:
     return _BM25_SQL.format(toks=_toks_sql("text"), terms=tlist, and_clause=and_clause)
 
 
+def _bm25_less_sql(pos: str, less: str) -> str:
+    toks = _toks_sql("text")
+    return f"""
+WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+       WHERE term IN ('{pos}', '{less}') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       round(sum(CASE WHEN term = '{pos}' THEN c ELSE -c END), 5) AS score
+FROM contrib
+GROUP BY doc_id
+HAVING sum(CASE WHEN term = '{pos}' THEN 1 ELSE 0 END) > 0
+ORDER BY sum(CASE WHEN term = '{pos}' THEN c ELSE -c END) DESC, doc_id LIMIT 10
+"""
+
+
 def _bm25_neg_sql(pos: str, neg: str) -> str:
     toks = _toks_sql("text")
     return f"""
@@ -298,6 +323,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_batch_top10"] = _bm25_batch
+
+    def _bm25_batch_ops(s, d):
+        # batch-path operator parity with search(): '~less' (union
+        # penalty decode, per-query broadcast fan-out) and '-term'
+        # (per-query anti-join) scored in the SAME single shared job
+        from lsearch_spark.query import batch_search
+
+        wh = _documents_wh(s, d)
+        return batch_search(
+            s, wh, {"q1": "data ~query", "q2": "scan -batch"}, k=10
+        ).select("query_id", "doc_id", F.round("score", 5).alias("score"))
+
+    q["bm25_batch_ops_top10"] = _bm25_batch_ops
 
     def _bm25_appended(s, d):
         # incremental segment append: index the even-id half, append the
@@ -646,26 +684,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_negation_top10": _bm25_neg_sql("data", "query"),
         "bm25_negation_deep_top10": _bm25_neg_sql("scan", "batch"),
-        "bm25_less_top10": f"""
-WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, term, count(*) AS tf
-       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
-       WHERE term IN ('data', 'query') GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-contrib AS (
-  SELECT tf.doc_id, tf.term,
-         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-)
-SELECT doc_id,
-       round(sum(CASE WHEN term = 'data' THEN c ELSE -c END), 5) AS score
-FROM contrib
-GROUP BY doc_id
-HAVING sum(CASE WHEN term = 'data' THEN 1 ELSE 0 END) > 0
-ORDER BY sum(CASE WHEN term = 'data' THEN c ELSE -c END) DESC, doc_id LIMIT 10
-""",
+        "bm25_less_top10": _bm25_less_sql("data", "query"),
+        "bm25_batch_ops_top10": (
+            f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_less_sql('data', 'query')}) "
+            f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_neg_sql('scan', 'batch')})"
+        ),
         "phrase_match_docs": (
             f"SELECT doc_id FROM documents "
             f"WHERE contains(' ' || array_to_string({toks}, ' ') || ' ', ' the data ')"

@@ -257,7 +257,7 @@ def main() -> None:
             return statistics.median(secs)
 
         stopset = {"the", "of", "and", "a", "in", "is", "it", "to", "you", "that"}
-        bqs = {f"q{q['query_id']}": q["query"] for q in QUERIES if "~" not in q["query"]}
+        bqs = {f"q{q['query_id']}": q["query"] for q in QUERIES}
         rare_terms = sorted({
             t for q in QUERIES
             for t in q["query"].replace("-", " ").replace("~", " ").split()

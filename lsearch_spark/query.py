@@ -939,7 +939,13 @@ def batch_search(
     excluded terms, fanned out per query by a broadcast map). Queries
     with exclusions run unpruned within the batch — search()'s
     a-posteriori tau verification has no batched analog. '~less' terms
-    are not supported; use search().
+    are supported exactly as in search(): candidates come from the
+    positive terms only, penalties are decoded in full from the union
+    of all queries' less terms and fanned out per query by a second
+    broadcast map, and such a query's positive-side thetas use the
+    tau-lowered-by-less-upper-bound correction (so it still
+    contributes pruning to the shared scan instead of forcing it
+    exhaustive).
 
     Returns DataFrame(query_id, doc_id, score): per-query top-k, ordered
     (query_id ASC, score DESC, doc_id ASC).
@@ -950,21 +956,22 @@ def batch_search(
     st = _wh_state(spark, wh)
     qmap: dict[str, list[str]] = {}
     qneg: dict[str, list[str]] = {}
+    qless: dict[str, list[str]] = {}
     items = queries.items() if isinstance(queries, dict) else ((f"q{i}", q) for i, q in enumerate(queries))
     for qid, q in items:
         pos, neg, less = parse_query(q)
-        if less:
-            raise ValueError(f"batch_search does not support '~' terms; query {qid!r} — use search()")
         qmap[str(qid)] = pos
         qneg[str(qid)] = neg
+        qless[str(qid)] = less
     empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
     all_terms = sorted({t for ts in qmap.values() for t in ts})
     all_neg = sorted({t for ts in qneg.values() for t in ts})
+    all_less = sorted({t for ts in qless.values() for t in ts})
     if not all_terms:
         return empty
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    dfs = _term_dfs(spark, st, wh, all_terms + all_neg)
+    dfs = _term_dfs(spark, st, wh, all_terms + all_neg + all_less)
     live = sorted(t for t in all_terms if t in dfs)
     if not live:
         return empty
@@ -984,15 +991,31 @@ def batch_search(
             bsz = int(st["cfg"].get("block_size") or 128)
             ninf = float("-inf")
             theta_u: dict[str, float] = {}
+            live_less_all = [t for t in all_less if t in dfs]
+            bless = _term_block_stats(spark, st, wh, live_less_all) if live_less_all else {}
             for qid, ts in qmap.items():
                 lq = [t for t in ts if t in dfs]
                 if not lq:
                     continue
                 thetas = None
+                lless = [t for t in qless[qid] if t in dfs]
                 if not qneg[qid]:
-                    thetas, _tau = _wand_thetas(
-                        lq, {t: idf_map[t] for t in lq}, bstats, k, ratio, bsz
-                    )
+                    idf_q = {t: idf_map[t] for t in lq}
+                    thetas, _tau = _wand_thetas(lq, idf_q, bstats, k, ratio, bsz)
+                    if thetas is not None and lless:
+                        # same correction as search(): tau lower-bounds the
+                        # k-th best POSITIVE sum; each witness loses at most
+                        # sum(UB_less) to penalties, so tau - sum(UB_less)
+                        # lower-bounds the k-th best FINAL score
+                        if all(t in bless for t in lless):
+                            ubc = max(1.0, ratio)
+                            _tau -= sum(
+                                _idf(n_docs, dfs[t]) * bless[t]["ub_wand"] * ubc for t in lless
+                            )
+                            ub_pos = {t: idf_q[t] * bstats[t]["ub_wand"] * ubc for t in lq}
+                            thetas = _thetas_for_tau(lq, idf_q, ub_pos, sum(ub_pos.values()), _tau, ubc)
+                        else:
+                            thetas = None
                 for t in lq:
                     theta_u[t] = min(theta_u.get(t, float("inf")),
                                      thetas[t] if thetas is not None else ninf)
@@ -1041,6 +1064,20 @@ def batch_search(
     )
     if mode == "and":
         agg = agg.filter(F.col("n_hit") == F.col("n_terms"))
+    less_pairs = [(qid, t) for qid, ts in qless.items() for t in ts if t in dfs]
+    if less_pairs:
+        lmap = spark.createDataFrame(less_pairs, "query_id string, term string")
+        less_terms = sorted({t for _, t in less_pairs})
+        less_idf = {t: _idf(n_docs, dfs[t]) for t in less_terms}
+        lscored = _decode_score_terms(_postings_for(spark, wh, st, less_terms), less_idf, avgdl)
+        pen = (
+            lscored.join(F.broadcast(lmap), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("tscore").alias("penalty"))
+        )
+        agg = agg.join(pen, ["query_id", "doc_id"], "left").withColumn(
+            "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
+        )
     neg_pairs = [(qid, t) for qid, ts in qneg.items() for t in ts if t in dfs]
     if neg_pairs:
         nq = spark.createDataFrame(neg_pairs, "query_id string, term string")

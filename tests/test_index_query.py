@@ -176,8 +176,31 @@ def test_batch_search_matches_single(spark, wh, pyidx):
         assert_rank_identical(
             [{"doc_id": d, "score": s} for d, s in by_q.get(qid, [])], want
         )
-    with pytest.raises(ValueError):
-        batch_search(spark, wh, {"x": "biology ~chemistry"})
+
+
+def test_batch_search_less_terms_match(spark, wh, pyidx):
+    """'~less' queries batch too: penalties decoded from the union of all
+    queries' less terms, fanned out per query; positive-side pruning uses
+    the tau-lowered-by-less-UB correction. Must equal per-query search
+    and the python oracle, pruned and exhaustive."""
+    from lsearch_spark.query import batch_search
+
+    qs = {
+        "a": "biology ~chemistry",
+        "b": "the ~physics",
+        "c": "quantum neural",
+        "d": "physics -the ~biology",  # neg+less combined: unpruned in-batch
+    }
+    for prune in (True, False):
+        got = batch_search(spark, wh, qs, k=5, prune=prune).collect()
+        by_q: dict[str, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qid, q in qs.items():
+            want = bm25_topk(pyidx, q, k=5)
+            assert_rank_identical(
+                [{"doc_id": d, "score": s} for d, s in by_q.get(qid, [])], want
+            ), (prune, qid)
 
 
 def test_batch_search_negation_and_pruned_match(spark, wh, pyidx):
