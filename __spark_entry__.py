@@ -9,10 +9,10 @@ refined tau, and verified pruned negation; also batched (full
 operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — 41 oracle-checked
+against a full BM25 reimplementation in ANSI SQL — 42 oracle-checked
 entries, including
 FULL value oracles for the Spark-hash-specific SimHash pair list and
-LSH ANN top-k (pure-Python twins: the JVM-parity XXH64 and a left-fold
+the LSH and IVF ANN top-k (pure-Python twins: the JVM-parity XXH64 and a left-fold
 float64 replay feed DuckDB the expected rows as VALUES), plus the
 completeness/soundness cross-checks. The 2 rows-only entries are the
 multimodal fakes (deterministic synthetic codecs, pytest-verified).
@@ -468,6 +468,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n_rows, violations)], "n_rows long, violations long")
 
     q["ann_lsh_sound"] = _ann_lsh_sound
+
+    def _ann_ivf(s, d):
+        # IVF-Flat scale path: spherical-k-means centroids from a bounded
+        # xxhash64-ordered sample, data Hive-partitioned by nearest-
+        # centroid id, query probes only the top-nprobe centroid
+        # partitions (partition-pruned scan) — FULL value oracle via the
+        # Spark-free twin (_ivf_top10_values: XXH64-long twin + identical
+        # numpy Lloyd replay + left-fold float64 cosines)
+        key = os.path.basename(os.path.normpath(d)) or "root"
+        path = os.path.join(tempfile.gettempdir(), f"lsearch_ivf_{key}")
+        if not os.path.exists(os.path.join(path, ".ok")):
+            e = _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+            ann.build_ivf_index(s, e, path, n_centroids=8, iters=5)
+            open(os.path.join(path, ".ok"), "w").write("ok")
+        return ann.cosine_topk_ivf(
+            s, path, [float(x) for x in _qvec(s, d)], k=10, nprobe=2
+        ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    q["ann_ivf_top10"] = _ann_ivf
     q["embedding_norms"] = lambda s, d: _emb(s, d).select(
         "vec_id",
         F.round(ann.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("l2"),
@@ -621,6 +640,67 @@ def _lsh_top10_values(sf_dir: str, n_planes: int = 10, radius: int = 2, k: int =
     return sql
 
 
+def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
+                      nprobe: int = 2, k: int = 10, sample: int = 16_384) -> str:
+    """VALUES list of (vec_id, cosine): the IVF probe top-k replayed in
+    pure Python — the XXH64 twin reproduces Spark's xxhash64(long) sample
+    order bit-for-bit, ivf_centroids_np replays the identical numpy Lloyd
+    iterations, assignment is the same float64 matmul argmax, and the
+    exact rerank uses the same left-fold float64 accumulation as Spark's
+    aggregate(), so centroids, probed partitions and cosines all match."""
+    key = ("ivf", sf_dir, n_centroids, iters, nprobe, k, sample)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    import math
+    import struct
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lsearch_spark.codec import xxhash64
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_pylist()
+    embs = [[float(x) for x in e] for e in t["embedding"].to_pylist()]
+    order = sorted(range(len(vids)), key=lambda i: xxhash64(struct.pack("<q", vids[i])))[:sample]
+    X = np.asarray([embs[i] for i in order], dtype=np.float64)
+    C = ann.ivf_centroids_np(X, n_centroids, seed=7, iters=iters)
+    M = np.asarray(embs, dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0] = 1.0
+    assign = np.argmax((M / nrm[:, None]) @ C.T, axis=1)
+    qvec = embs[vids.index(0)]
+    qa = np.asarray(qvec, dtype=np.float64)
+    qn_np = np.linalg.norm(qa)
+    sims = C @ (qa / qn_np if qn_np > 0 else qa)
+    probes = {int(c) for c in np.argsort(-sims)[: max(1, nprobe)]}
+
+    def fdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fnorm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    qn = fnorm(qvec)
+    rows = []
+    for j, (vid, e) in enumerate(zip(vids, embs)):
+        if int(assign[j]) not in probes:
+            continue
+        d = fnorm(e) * qn
+        rows.append((vid, fdot(e, qvec) / d if d > 0 else 0.0))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    vals = ", ".join(f"({v}, {c!r})" for v, c in rows[:k])
+    sql = f"SELECT vec_id, round(cosine, 6) AS cosine FROM (VALUES {vals}) AS t(vec_id, cosine)"
+    _twin_memo[key] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _toks_sql("text")
     low = _lower_sql("text")
@@ -717,6 +797,7 @@ WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
         # computed from the parquet testdata with zero Spark involvement)
         "simhash_near_dups": _simhash_pairs_values(_oracle_sf_dir()),
         "ann_lsh_top10": _lsh_top10_values(_oracle_sf_dir()),
+        "ann_ivf_top10": _ivf_top10_values(_oracle_sf_dir()),
         "jaccard_consecutive": f"""
 WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,

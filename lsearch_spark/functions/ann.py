@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -173,6 +174,13 @@ def ivf_centroids(
         .collect()
     )
     X = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    return ivf_centroids_np(X, n_centroids, seed, iters)
+
+
+def ivf_centroids_np(X: np.ndarray, n_centroids: int, seed: int = 7, iters: int = 8) -> np.ndarray:
+    """Driver-side Lloyd core on an already-collected sample (row order
+    matters for bit-identical centroids — callers order by xxhash64(id)).
+    Exposed so Spark-free twins (entry oracles) can replay it exactly."""
     nz = np.linalg.norm(X, axis=1)
     X = X[nz > 0] / nz[nz > 0, None]
     rng = np.random.RandomState(seed)
@@ -195,7 +203,6 @@ def ivf_centroids(
 def ivf_assign(emb_col: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id (cosine argmax) as an Arrow-vectorized pandas
     UDF — one numpy matmul per batch, no per-row Python."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = np.ascontiguousarray(centroids, dtype=np.float64)

@@ -221,6 +221,49 @@ def test_lsh_indexed_matches_onthefly_and_prunes(spark, emb, tmp_path_factory):
     assert "PartitionFilters" in plan and "_sig" in plan.split("PartitionFilters")[1][:200], plan
 
 
+def test_ivf_full_probe_equals_exact(spark, emb, tmp_path_factory):
+    """nprobe == n_centroids must reproduce brute-force exactly (every
+    partition probed, exact rerank inside) — the IVF analog of
+    pruned==exhaustive."""
+    path = str(tmp_path_factory.mktemp("ivfidx") / "emb_ivf")
+    e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    ann.build_ivf_index(spark, e, path, n_centroids=8, sample=1000, iters=5)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = ann.cosine_topk(e, q, k=5).collect()
+    full = ann.cosine_topk_ivf(spark, path, q, k=5, nprobe=8).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in exact] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in full
+    ]
+
+
+def test_ivf_probe_prunes_partitions_and_recalls(spark, emb, tmp_path_factory):
+    """Small nprobe: the scan must be partition-pruned to the probed
+    `_cid` directories; the query's own vector (cosine 1) must be found
+    because its centroid is by construction the top-ranked probe; every
+    returned row must be sound (appears in the exact ranking with the
+    same cosine)."""
+    path = str(tmp_path_factory.mktemp("ivfidx2") / "emb_ivf")
+    e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    ann.build_ivf_index(spark, e, path, n_centroids=8, sample=1000, iters=5)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ann.cosine_topk_ivf(spark, path, q, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cid" in plan.split("PartitionFilters")[1][:200], plan
+    rows = got.collect()
+    assert rows and rows[0]["vec_id"] == 7 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+    exact = {r["vec_id"]: r["cosine"] for r in ann.cosine_topk(e, q, k=500).collect()}
+    for r in rows:  # soundness: approximate may miss, never fabricate
+        assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    c1 = ann.ivf_centroids(e, n_centroids=4, sample=300, iters=3)
+    c2 = ann.ivf_centroids(e, n_centroids=4, sample=300, iters=3)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_embedding_near_dups_self(spark, emb):
     # duplicate a vector -> the pair must surface at threshold ~1
     dup = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
