@@ -412,10 +412,13 @@ rather than by saturated per-128-doc block maxima (which a PERFECT tau
 only cuts ~30%, measured). Negated queries prune the positive side
 with a df-aware deeper tau and an a-posteriori verification (fallback
 to exhaustive on shortfall, rate recorded in query_metrics);
-"-<90%-df stopword>" shapes stay exhaustive by design (k_eff would
-exceed the stored top_wands depth, and nearly every candidate needs
-the membership check anyway — the doc_ids-only decode of the excluded
-term is the scale-optimal exact plan absent a doc-keyed bitmap).
+"-<90%-df stopword>" shapes with a broad positive side stay
+exhaustive by design (nearly every candidate needs the membership
+check anyway); tiny-positive / huge-exclusion shapes instead route to
+the range-pruned anti-join (r4): the excluded term's blocks are
+broadcast-range-semi-joined against the positive candidate ids before
+any ids decode, so exclusion work is O(df_pos) however hot the
+excluded term — no O(corpus) query shape remains.
 
 Per-stage build walls (seconds, best run):
 

@@ -411,6 +411,54 @@ def _neg_docset(spark, wh, st, neg: list[str], dfs: dict[str, int]):
     return bc
 
 
+# Range-pruned exclusion: candidate-count ceiling for the broadcast
+# range semi-join (the broadcast side is the POSITIVE candidate set,
+# bounded by sum(df_pos) — driver-known before any job runs).
+_NEG_RANGE_MAX_CAND = 200_000
+
+
+def _neg_range_prune(spark, wh, st, neg: list[str], dfs: dict[str, int], live: list[str]):
+    """The scale plan for tiny-positive / huge-exclusion negation
+    ('w0003 -the' at web scale): instead of decoding the excluded
+    term's ENTIRE doc_ids (O(df_neg) — the last O(corpus) query shape),
+    range-prune its blocks against the positive candidate set first.
+    Within a (term, salt), blocks hold sorted disjoint doc_id ranges,
+    so a block can exclude a candidate only if [min_doc_id, max_doc_id]
+    intersects the candidate set — a broadcast range semi-join on block
+    METADATA (same machinery as phrase_search), then ids-decode of the
+    ~min(df_pos, n_blocks) surviving blocks: O(df_pos) work however hot
+    the excluded term is.
+
+    Returns the pruned excluded-ids DataFrame when the shape qualifies
+    (all gates driver-side from term_stats: candidates fit a broadcast,
+    the exclusion is >=4x larger than the positive side so the prune
+    pays, and the BNLJ probe product is bounded), else None (caller
+    falls back to the full-decode LEFT ANTI). The candidate set is an
+    ids-only decode of the POSITIVE terms' postings (cheaper than the
+    scoring decode, and a superset of any pruned positive plan's
+    candidates — sound for exclusion whichever plan scores)."""
+    live_neg = sorted(t for t in neg if t in dfs)
+    if not live_neg or "min_doc_id" not in st["postings_rel"].columns:
+        return None
+    sum_pos = sum(dfs[t] for t in live)
+    sum_neg = sum(dfs[t] for t in live_neg)
+    if sum_pos == 0 or sum_pos > _NEG_RANGE_MAX_CAND or sum_neg <= 4 * sum_pos:
+        return None
+    bs = _term_block_stats(spark, st, wh, live_neg)
+    if len(bs) != len(live_neg):
+        return None
+    n_blocks = sum(b["n_blocks"] for b in bs.values())
+    if sum_pos * n_blocks > _PHRASE_BNLJ_MAX:
+        return None
+    cand = _decode_blocks_ids_only(_postings_for(spark, wh, st, live)).distinct()
+    blocks = _postings_for(spark, wh, st, live_neg).join(
+        F.broadcast(cand),
+        (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
+        "left_semi",
+    )
+    return _decode_blocks_ids_only(blocks)
+
+
 def _agg_topk(partials: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
     """Final aggregation over (doc_id, score, hits) partials. hits sums
     to the number of distinct query terms a doc matched (each (term,
@@ -692,13 +740,22 @@ def search(
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
     blocks = _postings_for(spark, wh, st, live)
-    # '-term' exclusion: docset fast path (driver-decoded broadcast ids,
-    # applied inside the decode kernel) under the size gate, else the
-    # distributed LEFT ANTI (the 100 TB plan for huge exclusions)
+    # '-term' exclusion, three plans by shape (all driver-decided from
+    # term_stats): small exclusion -> docset fast path (driver-decoded
+    # broadcast ids applied inside the decode kernel); tiny positive +
+    # huge exclusion -> range-pruned anti-join (broadcast range semi-join
+    # on excluded block metadata, O(df_pos) decode — kills the last
+    # O(corpus) query shape); else distributed LEFT ANTI over the full
+    # excluded-ids decode (the fallback that always fits memory)
     excl_bc = _neg_docset(spark, wh, st, neg, dfs) if neg else None
-    neg_docs = None if excl_bc is not None else _neg_docs(spark, wh, st, neg)
+    neg_docs, neg_plan = None, None
+    if neg and excl_bc is None:
+        neg_docs = _neg_range_prune(spark, wh, st, neg, dfs, live)
+        neg_plan = "range-anti" if neg_docs is not None else "anti-join"
+        if neg_docs is None:
+            neg_docs = _neg_docs(spark, wh, st, neg)
     if _stats is not None and neg:
-        _stats["neg_plan"] = "docset-kernel" if excl_bc is not None else "anti-join"
+        _stats["neg_plan"] = "docset-kernel" if excl_bc is not None else neg_plan
 
     tau = float("-inf")
     pruned = False
@@ -1096,6 +1153,22 @@ def batch_search(
 
 
 # ----------------------------------------------------- query instrumentation
+def _obs_counts(obs, names: tuple = ("blocks_decoded", "postings_decoded")) -> tuple:
+    """Observation metrics, hardened for empty plans: when a query's
+    result is statically empty, AQE's empty-relation propagation can
+    replace the whole subtree — observed node included — with a
+    LocalRelation, so the execution ends with NO metrics row and
+    Observation.get throws (jrow has no schema). An eliminated observe
+    node means nothing was decoded: report zeros."""
+    if obs is None:
+        return tuple(0 for _ in names)
+    try:
+        vals = obs.get
+        return tuple(int(vals[n] or 0) for n in names)
+    except Exception:
+        return tuple(0 for _ in names)
+
+
 def _write_query_metrics(wh: Warehouse, info: dict) -> None:
     """Append one query_metrics row (driver-side pyarrow through the
     Hadoop FS seam — a 1-row Spark write costs seconds of scheduler
@@ -1163,13 +1236,7 @@ def search_with_stats(
     rows = search(spark, wh, query, k=k, mode=mode, prune=prune, probe=probe, _stats=info).collect()
     info["wall_ms"] = (time.time() - t0) * 1000.0
     obs = info.pop("_obs", None)
-    if obs is not None:
-        vals = obs.get
-        info["blocks_decoded"] = int(vals["blocks_decoded"] or 0)
-        info["postings_decoded"] = int(vals["postings_decoded"] or 0)
-    else:
-        info["blocks_decoded"] = 0
-        info["postings_decoded"] = 0
+    info["blocks_decoded"], info["postings_decoded"] = _obs_counts(obs)
     bstats = _term_block_stats(spark, st, wh, info.get("terms") or [])
     info["blocks_total"] = int(sum(b["n_blocks"] for b in bstats.values())) or None
     info["rows_returned"] = len(rows)
@@ -1207,12 +1274,10 @@ def batch_search_with_stats(
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     bobs = binfo.pop("_obs", None)
     if bobs is not None:
-        vals = bobs.get
-        binfo["blocks_decoded"] = int(vals["blocks_decoded"] or 0)
-        binfo["postings_decoded"] = int(vals["postings_decoded"] or 0)
+        binfo["blocks_decoded"], binfo["postings_decoded"] = _obs_counts(bobs)
     info = {
         "n_queries": len(items),
-        "rows_out": int(obs.get["rows_out"] or 0),
+        "rows_out": _obs_counts(obs, ("rows_out",))[0],
         "wall_ms": wall,
         **binfo,
     }

@@ -451,6 +451,38 @@ def test_negation_docset_vs_antijoin(spark, whbig, pyidx_big, monkeypatch):
         assert_rank_identical(rows_a, wants[q])
 
 
+def test_negation_range_prune_plan(spark, whbig, pyidx_big, monkeypatch):
+    """Tiny-positive / huge-exclusion shapes ('w0003 -the') must route to
+    the range-pruned anti-join (broadcast range semi-join on excluded
+    block metadata, O(df_pos) decode) once the docset path is off, be
+    rank-identical to the classic plans, and still fall back to the full
+    anti-join when the shape doesn't qualify."""
+    from lsearch_spark import query as Q
+    from lsearch_spark.query import search_with_stats
+
+    # positive dfs 1-2 vs ~5000-df exclusions ('zyzzyva -of' is even
+    # EMPTY — exercising the eliminated-observation hardening too)
+    shapes = ["tiebreak -the", "café -and", "zyzzyva -of"]
+    wants = {q: bm25_topk(pyidx_big, q, k=10) for q in shapes}
+    monkeypatch.setattr(Q, "_NEG_DOCSET_MAX_POSTINGS", 0)
+    for q in shapes:
+        rows, info = search_with_stats(spark, whbig, q, k=10, prune=False)
+        assert info["neg_plan"] == "range-anti", (q, info)
+        assert_rank_identical(rows, wants[q])
+        rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
+        assert_rank_identical(rows_p, wants[q])
+    # positive side too large for a broadcast -> full anti-join
+    monkeypatch.setattr(Q, "_NEG_RANGE_MAX_CAND", 1)
+    rows, info = search_with_stats(spark, whbig, "tiebreak -the", k=10, prune=False)
+    assert info["neg_plan"] == "anti-join", info
+    assert_rank_identical(rows, wants["tiebreak -the"])
+    # exclusion not >=4x the positive side -> the prune can't pay
+    monkeypatch.setattr(Q, "_NEG_RANGE_MAX_CAND", 200_000)
+    rows, info = search_with_stats(spark, whbig, "the -biology", k=10, prune=False)
+    assert info["neg_plan"] == "anti-join", info
+    assert_rank_identical(rows, bm25_topk(pyidx_big, "the -biology", k=10))
+
+
 def test_negation_edge_shapes(spark, wh):
     """Exclusion edge cases through both negation plans: excluding the
     query term itself empties the result; an absent excluded term
