@@ -483,6 +483,28 @@ def test_negation_range_prune_plan(spark, whbig, pyidx_big, monkeypatch):
     assert_rank_identical(rows, bm25_topk(pyidx_big, "the -biology", k=10))
 
 
+def test_negation_range_prune_decodes_fewer_blocks(spark, whbig):
+    """Evidence for the O(df_pos) claim: each candidate id lives in at
+    most one excluded block per (term, salt), so the range semi-join
+    keeps <= df_pos * n_salts of the excluded term's blocks — orders of
+    magnitude below its total block count for a hot exclusion."""
+    from lsearch_spark import query as Q
+
+    st = Q._wh_state(spark, whbig)
+    dfs = Q._term_dfs(spark, st, whbig, ["tiebreak", "the"])
+    cand = Q._decode_blocks_ids_only(Q._postings_for(spark, whbig, st, ["tiebreak"])).distinct()
+    neg_blocks = Q._postings_for(spark, whbig, st, ["the"])
+    kept = neg_blocks.join(
+        F.broadcast(cand),
+        (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
+        "left_semi",
+    ).count()
+    total = neg_blocks.count()
+    n_salts = int((whbig.read_manifest("config") or {}).get("n_salts", 4))
+    assert kept <= dfs["tiebreak"] * n_salts, (kept, dfs)
+    assert kept < total / 50, (kept, total)
+
+
 def test_negation_edge_shapes(spark, wh):
     """Exclusion edge cases through both negation plans: excluding the
     query term itself empties the result; an absent excluded term
