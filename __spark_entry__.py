@@ -9,7 +9,7 @@ refined tau, and verified pruned negation; also batched (full
 operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — 42 oracle-checked
+against a full BM25 reimplementation in ANSI SQL — 43 oracle-checked
 entries, including
 FULL value oracles for the Spark-hash-specific SimHash pair list and
 the LSH and IVF ANN top-k (pure-Python twins: the JVM-parity XXH64 and a left-fold
@@ -337,10 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_batch_ops_top10"] = _bm25_batch_ops
 
-    def _bm25_appended(s, d):
+    def _appended_wh(s, d):
         # incremental segment append: index the even-id half, append the
-        # odd-id half; scores must equal BM25 over the FULL table (the
-        # oracle is the plain full-corpus SQL)
+        # odd-id half (idempotent: manifests make reruns no-ops)
         from lsearch_spark.build import Warehouse, append_index, build_index
 
         key = os.path.basename(os.path.normpath(d)) or "root"
@@ -359,10 +358,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wh = Warehouse(wh_dir)
         if int((wh.read_manifest("config") or {}).get("n_appends", 0)) < 1:
             append_index(s, pages.filter(F.col("doc_id") % 2 == 1), wh, from_html=False)
-        out = search(s, wh_dir, "data query", k=10)
+        return wh_dir
+
+    def _bm25_appended(s, d):
+        # scores must equal BM25 over the FULL table (the oracle is the
+        # plain full-corpus SQL)
+        out = search(s, _appended_wh(s, d), "data query", k=10)
         return out.select("doc_id", F.round("score", 5).alias("score"))
 
     q["bm25_appended_top10"] = _bm25_appended
+
+    def _bm25_compacted(s, d):
+        # compact_index folds the appended segments into a fresh single-
+        # epoch warehouse WITHOUT re-tokenizing; BM25 over the compacted
+        # index shares the same full-corpus SQL oracle (hash-green gate
+        # for compaction, beyond the pytest equality tests)
+        from lsearch_spark.build import compact_index
+
+        wh_dir = _appended_wh(s, d)
+        dst = wh_dir + "__compact"
+        if not os.path.exists(dst + ".ok"):
+            compact_index(s, wh_dir, dst)
+            open(dst + ".ok", "w").write("ok")
+        out = search(s, dst, "data query", k=10)
+        return out.select("doc_id", F.round("score", 5).alias("score"))
+
+    q["bm25_compacted_top10"] = _bm25_compacted
 
     def _bm25_streamed(s, d):
         from lsearch_spark.query import search as _search
@@ -757,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_stopword_pair_top10": _bm25_sql(["batch", "small"]),
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
+        "bm25_compacted_top10": _bm25_sql(["data", "query"]),
         "bm25_streamed_top10": _bm25_sql(["data", "query"]),
         "bm25_batch_top10": (
             f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_sql(['data', 'query'])}) "
