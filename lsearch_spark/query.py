@@ -1335,12 +1335,15 @@ def plan_summary(
         lines.append(line)
     for t in less:
         lines.append(f"  ~{t}: df={dfs.get(t, 0)} (negative-weight scorer)")
+    sum_pos = sum(dfs.get(t) or 0 for t in pos)
+    sum_neg_all = sum(dfs.get(x) or 0 for x in neg)
     for t in neg:
-        route = (
-            "broadcast docset, kernel-side exclusion"
-            if (dfs.get(t) or 0) and sum(dfs.get(x) or 0 for x in neg) <= _NEG_DOCSET_MAX_POSTINGS
-            else "LEFT ANTI, doc_ids-only decode"
-        )
+        if (dfs.get(t) or 0) and sum_neg_all <= _NEG_DOCSET_MAX_POSTINGS:
+            route = "broadcast docset, kernel-side exclusion"
+        elif 0 < sum_pos <= _NEG_RANGE_MAX_CAND and sum_neg_all > 4 * sum_pos:
+            route = "range-pruned anti-join (excluded blocks semi-joined vs candidates)"
+        else:
+            route = "LEFT ANTI, doc_ids-only decode"
         lines.append(f"  -{t}: bucket={buckets[t]} df={dfs.get(t, 0)} ({route})")
     if prune:
         live = [t for t in pos if t in dfs]
