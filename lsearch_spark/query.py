@@ -6,7 +6,9 @@ search.rs:233-283) with the deterministic tie-break (score DESC,
 doc_id ASC) required by the north_rule.
 
 Query syntax: whitespace-separated terms, '-term' = exclusion (the
-reference's Hasnt, search.rs:250-265, as a LEFT ANTI join).
+reference's Hasnt, search.rs:250-265, as a LEFT ANTI join), '~term' =
+negative-weight scorer (the reference's declared-but-never-wired Less,
+cli.yaml:44-49 — subtracts the term's BM25 contribution).
 
 Two execution paths, equivalence-tested against each other and the
 pure-Python oracle:
@@ -57,6 +59,13 @@ alone is provably weak (all exactness-preserving):
   Impact LADDERS (term_block_stats.impact_ladder, (max, min) wand
   sampled at power-of-two block ranks) extend tau formation to ANY
   depth (_deep_kth_wand), so even "-<99%-df term>" forms a tau.
+  The EXCLUSION side itself picks between three exact plans by shape
+  (driver-decided from term stats): broadcast docset applied inside
+  the decode kernel (small exclusions), range-pruned anti-join
+  (_neg_range_prune: tiny positive + huge exclusion — excluded blocks
+  broadcast-range-semi-joined against the positive candidate ids
+  before any ids decode, O(df_pos) work), or the distributed LEFT
+  ANTI over the full excluded-ids decode.
 - COST-BASED PLAN CHOICE: the same ladders bound, within 2x, how many
   blocks any theta keeps (_est_kept_blocks — property-tested sound),
   so the planner runs the routed/probed plan only when it provably
