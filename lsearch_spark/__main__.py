@@ -3,6 +3,10 @@
   spark-submit --py-files lsearch_spark.zip -m lsearch_spark ...   (cluster)
   python -m lsearch_spark build --input pages.parquet --warehouse /wh
   python -m lsearch_spark search --warehouse /wh --query "biology -chem" -k 10
+  python -m lsearch_spark phrase --warehouse /wh --query "the data" -k 10
+  python -m lsearch_spark batch --warehouse /wh -q "biology" -q "the -of"
+  python -m lsearch_spark append --input more.parquet --warehouse /wh
+  python -m lsearch_spark compact --warehouse /wh [--dest /wh2]
   python -m lsearch_spark demo   # synthetic corpus end-to-end
 
 The reference CLI's query pipeline (--content-* / --has / --more ...)
@@ -44,6 +48,27 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stats", action="store_true", help="per-query stats (reference --stats, cli.rs:510-512)")
     s.add_argument("--strats", action="store_true", help="print the plan summary (reference --strats, cli.rs:439-441)")
 
+    ph = sub.add_parser("phrase", help="exact-phrase BM25 top-k (positions)")
+    ph.add_argument("--warehouse", required=True)
+    ph.add_argument("--query", required=True)
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--scratch-dir", default=None,
+                    help="scratch location for read-only warehouses")
+
+    bt = sub.add_parser("batch", help="N queries in ONE job (amortized scheduler floor)")
+    bt.add_argument("--warehouse", required=True)
+    bt.add_argument("-q", "--query", dest="queries", action="append", required=True,
+                    help="repeatable; supports '-term' and '~term'")
+    bt.add_argument("-k", type=int, default=10)
+
+    ap = sub.add_parser("append", help="atomic incremental segment append")
+    ap.add_argument("--input", required=True, help="parquet path with pages schema")
+    ap.add_argument("--warehouse", required=True)
+
+    cp = sub.add_parser("compact", help="fold appended segments into one epoch (no re-tokenize)")
+    cp.add_argument("--warehouse", required=True)
+    cp.add_argument("--dest", default=None)
+
     d = sub.add_parser("demo", help="synthetic corpus -> build -> query")
     d.add_argument("--docs", type=int, default=2000)
     d.add_argument("--warehouse", default="/tmp/lsearch_demo_wh")
@@ -83,6 +108,30 @@ def main(argv: list[str] | None = None) -> int:
             for r in out.collect():
                 cols = f"[{r['score']:.4f}] {r['doc_id']}"
                 print(cols + (f" {r['url']}" if args.urls else ""))
+    elif args.cmd == "phrase":
+        from .query import phrase_search
+
+        out = phrase_search(spark, args.warehouse, args.query, k=args.k,
+                            scratch_dir=args.scratch_dir)
+        for r in out.collect():
+            print(f"[{r['score']:.4f}] {r['doc_id']} tf={r['phrase_tf']}")
+    elif args.cmd == "batch":
+        from .query import batch_search
+
+        out = batch_search(spark, args.warehouse, dict(enumerate(args.queries)), k=args.k)
+        for r in out.collect():
+            print(f"{args.queries[int(r['query_id'])]!r}\t[{r['score']:.4f}] {r['doc_id']}")
+    elif args.cmd == "append":
+        from .build import append_index
+
+        pages = spark.read.parquet(args.input)
+        append_index(spark, pages, args.warehouse)
+        print(f"segment appended to {args.warehouse}")
+    elif args.cmd == "compact":
+        from .build import compact_index
+
+        dst = compact_index(spark, args.warehouse, args.dest)
+        print(f"compacted into {dst.root}")
     elif args.cmd == "demo":
         from .build import build_index
         from .corpus import pages_df

@@ -1,0 +1,62 @@
+"""python -m lsearch_spark — the CLI maps every engine surface (build /
+search / phrase / batch / append / compact) onto the library, in-process
+(get_spark's getOrCreate reuses the test session; stop is no-op'd so the
+session-scoped fixture survives)."""
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from lsearch_spark.corpus import pages_df
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory, request):
+    base = tmp_path_factory.mktemp("cli")
+    src_even = str(base / "pages_even.parquet")
+    src_odd = str(base / "pages_odd.parquet")
+    pages = pages_df(spark, 200)
+    pages.filter(F.col("doc_id") % 2 == 0).write.parquet(src_even)
+    pages.filter(F.col("doc_id") % 2 == 1).write.parquet(src_odd)
+    # keep the shared session alive across main()'s spark.stop()
+    orig_stop = SparkSession.stop
+    SparkSession.stop = lambda self: None
+    request.addfinalizer(lambda: setattr(SparkSession, "stop", orig_stop))
+    return {"wh": str(base / "wh"), "even": src_even, "odd": src_odd}
+
+
+def _run(argv):
+    from lsearch_spark.__main__ import main
+
+    assert main(argv) == 0
+
+
+def test_cli_build_and_search(cli_env, capsys):
+    _run(["build", "--input", cli_env["even"], "--warehouse", cli_env["wh"],
+          "--buckets", "4", "--block-size", "32", "--hot-df", "64", "--salts", "2"])
+    assert "index built" in capsys.readouterr().out
+    _run(["search", "--warehouse", cli_env["wh"], "--query", "biology -chemistry",
+          "-k", "5", "--stats", "--strats"])
+    out = capsys.readouterr().out
+    assert "WAND" in out and "-- stats:" in out
+
+
+def test_cli_phrase_and_batch(cli_env, capsys):
+    _run(["phrase", "--warehouse", cli_env["wh"], "--query", "the", "-k", "3"])
+    assert "tf=" in capsys.readouterr().out
+    _run(["batch", "--warehouse", cli_env["wh"], "-q", "biology", "-q", "the ~of", "-k", "3"])
+    out = capsys.readouterr().out
+    assert "'biology'" in out and "'the ~of'" in out
+
+
+def test_cli_append_and_compact(spark, cli_env, capsys):
+    from lsearch_spark.query import invalidate_cache, search
+
+    _run(["append", "--input", cli_env["odd"], "--warehouse", cli_env["wh"]])
+    assert "segment appended" in capsys.readouterr().out
+    _run(["compact", "--warehouse", cli_env["wh"], "--dest", cli_env["wh"] + "2"])
+    assert "compacted into" in capsys.readouterr().out
+    invalidate_cache()
+    a = [tuple(r) for r in search(spark, cli_env["wh"], "biology", k=5).collect()]
+    b = [tuple(r) for r in search(spark, cli_env["wh"] + "2", "biology", k=5).collect()]
+    assert a == b and len(a) == 5
