@@ -181,6 +181,8 @@ def ivf_centroids_np(X: np.ndarray, n_centroids: int, seed: int = 7, iters: int 
     """Driver-side Lloyd core on an already-collected sample (row order
     matters for bit-identical centroids — callers order by xxhash64(id)).
     Exposed so Spark-free twins (entry oracles) can replay it exactly."""
+    if X.ndim != 2 or len(X) == 0:
+        raise ValueError("ivf_centroids: need a non-empty 2-D sample of embeddings")
     nz = np.linalg.norm(X, axis=1)
     X = X[nz > 0] / nz[nz > 0, None]
     rng = np.random.RandomState(seed)
