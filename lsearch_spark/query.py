@@ -765,6 +765,17 @@ def search(
             neg_docs = _neg_docs(spark, wh, st, neg)
     if _stats is not None and neg:
         _stats["neg_plan"] = "docset-kernel" if excl_bc is not None else neg_plan
+        # exclusion-side cost, per plan: the docset path's ids are on the
+        # driver (exact count now); the distributed plans get an
+        # Observation on the ids decode (read back in search_with_stats)
+        if excl_bc is not None:
+            _stats["neg_ids_decoded"] = int(excl_bc.value.size)
+        elif neg_docs is not None:
+            from pyspark.sql import Observation
+
+            obs_neg = Observation(f"negstats_{uuid.uuid4().hex[:12]}")
+            neg_docs = neg_docs.observe(obs_neg, F.count(F.lit(1)).alias("neg_ids"))
+            _stats["_obs_neg"] = obs_neg
 
     tau = float("-inf")
     pruned = False
@@ -1202,6 +1213,10 @@ def _write_query_metrics(wh: Warehouse, info: dict) -> None:
             "blocks_total": pa.array([info.get("blocks_total")], pa.int64()),
             "blocks_decoded": pa.array([info.get("blocks_decoded")], pa.int64()),
             "postings_decoded": pa.array([info.get("postings_decoded")], pa.int64()),
+            # exclusion-side ids decoded (None for positive-only queries);
+            # consumers read with mergeSchema=true, so pre-existing
+            # metrics fragments without the column read as null
+            "neg_ids_decoded": pa.array([info.get("neg_ids_decoded")], pa.int64()),
             "rows_returned": pa.array([info.get("rows_returned")], pa.int64()),
             "wall_ms": pa.array([info.get("wall_ms")], pa.float64()),
         }
@@ -1246,6 +1261,9 @@ def search_with_stats(
     info["wall_ms"] = (time.time() - t0) * 1000.0
     obs = info.pop("_obs", None)
     info["blocks_decoded"], info["postings_decoded"] = _obs_counts(obs)
+    obs_neg = info.pop("_obs_neg", None)
+    if obs_neg is not None:
+        info["neg_ids_decoded"] = _obs_counts(obs_neg, ("neg_ids",))[0]
     bstats = _term_block_stats(spark, st, wh, info.get("terms") or [])
     info["blocks_total"] = int(sum(b["n_blocks"] for b in bstats.values())) or None
     info["rows_returned"] = len(rows)

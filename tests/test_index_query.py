@@ -469,6 +469,9 @@ def test_negation_range_prune_plan(spark, whbig, pyidx_big, monkeypatch):
         rows, info = search_with_stats(spark, whbig, q, k=10, prune=False)
         assert info["neg_plan"] == "range-anti", (q, info)
         assert_rank_identical(rows, wants[q])
+        # O(df_pos) evidence in the --stats surface: the exclusion decode
+        # is bounded by kept_blocks * block_size, nowhere near df_neg
+        assert info["neg_ids_decoded"] <= 4 * 16 * 2, info
         rows_p, info_p = search_with_stats(spark, whbig, q, k=10, prune=True)
         assert_rank_identical(rows_p, wants[q])
     # positive side too large for a broadcast -> full anti-join
