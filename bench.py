@@ -460,6 +460,22 @@ machine — not the engine — is in a throttled phase. The per-stage
 table and the bandwidth control are the stable evidence: stages scale
 against the 0.71-bandwidth-implied ceiling (= 2.84x).
 
+Phase study (r4, 2026-08-17, ENGINE UNCHANGED across runs): four full
+bench executions in one day, each with its in-run control —
+(a) control 10.2/28.8/100.9 GB/s (healthy) -> build 17.6s@16, scaling
+0.70, pruned p50 366ms; (b) control 7.96/18.4/80.1 -> best build
+27.7s@16 (first rep 102s: concurrent test load); (c) control
+7.62/26.0/75.8 -> builds 37.5-44s@16 ~= 41-71s@4, scaling 0.28 —
+multi-core collapse (a mid-phase standalone probe measured 0.75 GB/s
+TOTAL at 4 workers, 1/38th of healthy); (d) control 7.9/19.3/43.3 ->
+builds 26.5-60s@16. Build walls track the 16-worker control
+monotonically across all four runs while QUERY medians stay within
++-22% (pruned p50 366/421/422/447ms) — sustained multi-core stages
+absorb the throttle, short per-query jobs mostly dodge it. Identical
+code spanning 17.6-60s by machine phase is the quantitative form of
+the environment attribution VERDICT r3 #1 asked for; the healthy-phase
+run (a) is the engine's number.
+
 Flat-stage control (r4): the flat kernel + parquet write run
 Spark-FREE (mp.Pool over the same files, same 10k-row Arrow batches)
 scales only 2.3-2.45x from 4->16 workers on this box — beneath the
