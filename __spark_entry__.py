@@ -9,13 +9,13 @@ refined tau, and verified pruned negation; also batched (full
 operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — 43 oracle-checked
-entries, including
-FULL value oracles for the Spark-hash-specific SimHash pair list and
-the LSH and IVF ANN top-k (pure-Python twins: the JVM-parity XXH64 and a left-fold
-float64 replay feed DuckDB the expected rows as VALUES), plus the
-completeness/soundness cross-checks. The 2 rows-only entries are the
-multimodal fakes (deterministic synthetic codecs, pytest-verified).
+against a full BM25 reimplementation in ANSI SQL — ALL 45 entries are
+oracle-checked, zero rows-only: pure-Python twins (the JVM-parity
+XXH64, a left-fold float64 replay, the numpy Lloyd replay, and the
+Spark-free fake-media generator) feed DuckDB the expected rows as
+VALUES for everything Spark-hash- or kernel-specific — SimHash pairs,
+LSH and IVF ANN top-k, and both multimodal entries — alongside the
+completeness/soundness cross-checks.
 """
 
 from __future__ import annotations
@@ -722,6 +722,56 @@ def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
     return sql
 
 
+def _blob_sql(b: bytes) -> str:
+    return "'" + "".join(f"\\x{c:02x}" for c in b) + "'::BLOB"
+
+
+def _media_image_values(n: int = 120) -> str:
+    """VALUES twin of media_image_features: synth_media_rows is Spark-free
+    by construction, and the fake pixel stats are a sha256 digest — the
+    whole entry result is replayable exactly without Spark."""
+    key = ("media_img", n)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    rows = []
+    for (mid, kind, payload, w, h, _nf, _rate) in multimodal.synth_media_rows(n):
+        if kind != "image":
+            continue
+        mr, mg, mb, ph = multimodal._fake_pixel_stats(bytes(payload))
+        rows.append(f"({mid}, {w}, {h}, {mr!r}, {mg!r}, {mb!r}, {ph})")
+    sql = (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, width, height, mean_r, mean_g, mean_b, phash)"
+    )
+    _twin_memo[key] = sql
+    return sql
+
+
+def _media_frames_values(n: int = 120, every_n: int = 10) -> str:
+    """VALUES twin of media_frame_sample: the fake demux is a pure index
+    computation over the seeded payload — offsets (frame_idx*7) mod
+    max(len-8, 1), window clipped at the payload end — replayed per row
+    (the Spark kernel computes the same thing batch-vectorized)."""
+    key = ("media_frames", n, every_n)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    rows = []
+    for (mid, kind, payload, _w, _h, nf, _rate) in multimodal.synth_media_rows(n):
+        if kind != "video":
+            continue
+        b = bytes(payload)
+        L = len(b)
+        count = -(-max(int(nf), 0) // every_n)
+        for j in range(count):
+            fi = j * every_n
+            off = (fi * 7) % max(L - 8, 1)
+            w8 = bytes(b[min(off + t, L - 1)] for t in range(8))
+            rows.append(f"({mid}, {fi}, {_blob_sql(w8)})")
+    sql = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, frame_idx, frame_payload)"
+    _twin_memo[key] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _toks_sql("text")
     low = _lower_sql("text")
@@ -866,6 +916,10 @@ SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
 FROM events GROUP BY 1
 """,
         "events_type_stats": "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value FROM events GROUP BY event_type",
+        # multimodal: the deterministic fakes are Spark-free-replayable,
+        # so even these get FULL value oracles (VALUES twins)
+        "media_image_features": _media_image_values(),
+        "media_frame_sample": _media_frames_values(),
     }
     # pruned negation must agree with the same exhaustive-negation oracle
     out["bm25_negation_pruned_top10"] = out["bm25_negation_top10"]

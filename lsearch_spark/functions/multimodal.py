@@ -44,8 +44,9 @@ AUDIO_FEATURES_SCHEMA = "media_id long, sample_rate int, duration_s double, rms 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
 
 
-def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
+    """The deterministic fake-media row generator, Spark-free (so entry
+    oracles can replay the exact table as a pure-Python twin)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -63,7 +64,12 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 16000 if kind == "audio" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
 
 
 def synth_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
