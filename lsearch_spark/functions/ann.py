@@ -185,6 +185,8 @@ def ivf_centroids_np(X: np.ndarray, n_centroids: int, seed: int = 7, iters: int 
         raise ValueError("ivf_centroids: need a non-empty 2-D sample of embeddings")
     nz = np.linalg.norm(X, axis=1)
     X = X[nz > 0] / nz[nz > 0, None]
+    if len(X) == 0:
+        raise ValueError("ivf_centroids: every sampled embedding is zero-norm")
     rng = np.random.RandomState(seed)
     k = min(n_centroids, len(X))
     C = X[rng.choice(len(X), size=k, replace=False)]

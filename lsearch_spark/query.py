@@ -446,26 +446,41 @@ def _neg_range_prune(spark, wh, st, neg: list[str], dfs: dict[str, int], live: l
     ids-only decode of the POSITIVE terms' postings (cheaper than the
     scoring decode, and a superset of any pruned positive plan's
     candidates — sound for exclusion whichever plan scores)."""
+    if not _neg_range_eligible(spark, wh, st, neg, dfs, live):
+        return None
+    live_neg = sorted(t for t in neg if t in dfs)
+    cand = _decode_blocks_ids_only(_postings_for(spark, wh, st, live)).distinct()
+    blocks = _range_semi_join(_postings_for(spark, wh, st, live_neg), cand)
+    return _decode_blocks_ids_only(blocks)
+
+
+def _neg_range_eligible(spark, wh, st, neg, dfs, live) -> bool:
+    """ALL the _neg_range_prune gates, driver-side only — shared with
+    plan_summary so --strats reports exactly the plan search() will run."""
     live_neg = sorted(t for t in neg if t in dfs)
     if not live_neg or "min_doc_id" not in st["postings_rel"].columns:
-        return None
-    sum_pos = sum(dfs[t] for t in live)
+        return False
+    sum_pos = sum(dfs[t] for t in live if t in dfs)
     sum_neg = sum(dfs[t] for t in live_neg)
     if sum_pos == 0 or sum_pos > _NEG_RANGE_MAX_CAND or sum_neg <= 4 * sum_pos:
-        return None
+        return False
     bs = _term_block_stats(spark, st, wh, live_neg)
     if len(bs) != len(live_neg):
-        return None
-    n_blocks = sum(b["n_blocks"] for b in bs.values())
-    if sum_pos * n_blocks > _PHRASE_BNLJ_MAX:
-        return None
-    cand = _decode_blocks_ids_only(_postings_for(spark, wh, st, live)).distinct()
-    blocks = _postings_for(spark, wh, st, live_neg).join(
+        return False
+    return sum_pos * sum(b["n_blocks"] for b in bs.values()) <= _PHRASE_BNLJ_MAX
+
+
+def _range_semi_join(blocks: DataFrame, cand: DataFrame) -> DataFrame:
+    """Keep only blocks whose [min_doc_id, max_doc_id] range holds a
+    candidate doc_id (broadcast nested-loop semi-join on block METADATA
+    — within a (term, salt) blocks are sorted disjoint ranges). The one
+    shared implementation behind negation range-pruning and
+    phrase_search's phase 1b."""
+    return blocks.join(
         F.broadcast(cand),
         (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
         "left_semi",
     )
-    return _decode_blocks_ids_only(blocks)
 
 
 def _agg_topk(partials: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
@@ -1184,9 +1199,14 @@ def _obs_counts(obs, names: tuple = ("blocks_decoded", "postings_decoded")) -> t
         return tuple(0 for _ in names)
     try:
         vals = obs.get
-        return tuple(int(vals[n] or 0) for n in names)
-    except Exception:
-        return tuple(0 for _ in names)
+    except Exception as e:  # noqa: BLE001 — only the empty-row assertion
+        # (toPyRow on a schemaless empty Row) means "observe node
+        # eliminated"; anything else (connection loss, interrupted
+        # action) is a real failure and must surface
+        if "assertion failed" in str(e):
+            return tuple(0 for _ in names)
+        raise
+    return tuple(int(vals[n] or 0) for n in names)
 
 
 def _write_query_metrics(wh: Warehouse, info: dict) -> None:
@@ -1362,12 +1382,12 @@ def plan_summary(
         lines.append(line)
     for t in less:
         lines.append(f"  ~{t}: df={dfs.get(t, 0)} (negative-weight scorer)")
-    sum_pos = sum(dfs.get(t) or 0 for t in pos)
     sum_neg_all = sum(dfs.get(x) or 0 for x in neg)
+    live_pos = [t for t in pos if t in dfs]
     for t in neg:
         if (dfs.get(t) or 0) and sum_neg_all <= _NEG_DOCSET_MAX_POSTINGS:
             route = "broadcast docset, kernel-side exclusion"
-        elif 0 < sum_pos <= _NEG_RANGE_MAX_CAND and sum_neg_all > 4 * sum_pos:
+        elif _neg_range_eligible(spark, wh, st, neg, dfs, live_pos):
             route = "range-pruned anti-join (excluded blocks semi-joined vs candidates)"
         else:
             route = "LEFT ANTI, doc_ids-only decode"
@@ -1540,11 +1560,7 @@ def phrase_search(
             # block-range semi-join on metadata only; the broadcast side
             # is bounded by the rarest df (gate above — beyond it the
             # nested-loop probe would cost more than the decode it saves)
-            oblocks = oblocks.join(
-                F.broadcast(cand),
-                (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
-                "left_semi",
-            )
+            oblocks = _range_semi_join(oblocks, cand)
         ids_others = _decode_blocks_ids_prov(oblocks)
         ids_all = ids_rare.unionByName(ids_others)
     else:

@@ -497,11 +497,7 @@ def test_negation_range_prune_decodes_fewer_blocks(spark, whbig):
     dfs = Q._term_dfs(spark, st, whbig, ["tiebreak", "the"])
     cand = Q._decode_blocks_ids_only(Q._postings_for(spark, whbig, st, ["tiebreak"])).distinct()
     neg_blocks = Q._postings_for(spark, whbig, st, ["the"])
-    kept = neg_blocks.join(
-        F.broadcast(cand),
-        (F.col("doc_id") >= F.col("min_doc_id")) & (F.col("doc_id") <= F.col("max_doc_id")),
-        "left_semi",
-    ).count()
+    kept = Q._range_semi_join(neg_blocks, cand).count()
     total = neg_blocks.count()
     n_salts = int((whbig.read_manifest("config") or {}).get("n_salts", 4))
     assert kept <= dfs["tiebreak"] * n_salts, (kept, dfs)
