@@ -468,8 +468,11 @@ bench executions in one day, each with its in-run control —
 7.62/26.0/75.8 -> builds 37.5-44s@16 ~= 41-71s@4, scaling 0.28 —
 multi-core collapse (a mid-phase standalone probe measured 0.75 GB/s
 TOTAL at 4 workers, 1/38th of healthy); (d) control 7.9/19.3/43.3 ->
-builds 26.5-60s@16. Build walls track the 16-worker control
-monotonically across all four runs while QUERY medians stay within
+builds 26.5-60s@16; (e) control 7.45/21.2/68.0 -> builds 35-47s@16
+(pre-launch idle probe read a healthy 88 GB/s@16w — the throttle
+engages UNDER sustained load, so short probes cannot predict it).
+Build walls track the 16-worker in-run control
+monotonically across all five runs while QUERY medians stay within
 +-22% (pruned p50 366/421/422/447ms) — sustained multi-core stages
 absorb the throttle, short per-query jobs mostly dodge it. Identical
 code spanning 17.6-60s by machine phase is the quantitative form of
