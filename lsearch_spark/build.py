@@ -1229,7 +1229,8 @@ def append_index(
     # ---- Iceberg commit: per-table snapshots from the staged segment ----
     if ice:
         catalog.append_table(spark, seg_docs, wh.root, "docs")
-        catalog.append_table(spark, seg_chunks, wh.root, "postings_flat")
+        if wh.read_manifest("flat"):  # skip parity append on vacuumed warehouses
+            catalog.append_table(spark, seg_chunks, wh.root, "postings_flat")
         catalog.append_table(
             spark, seg_blocks, wh.root, "postings", partition_by=["kind", "bucket"]
         )
@@ -1257,6 +1258,23 @@ def append_index(
 
     invalidate_cache(wh.root)
     return wh
+
+
+def vacuum_flat(warehouse: str | Warehouse) -> None:
+    """Drop the postings_flat intermediate — the storage-lifecycle step
+    for FINAL indexes. Measured at 600k docs: 130 MB of flat chunks
+    beside 187 MB of compressed blocks (~40% of warehouse bytes; tens
+    of TB at 10^12 docs). postings_flat exists so resume and
+    config-change rebuilds re-run the blocks stage without
+    re-extracting/tokenizing; queries never read it, and appends stage
+    their own segment chunks. Removes the table and its stage manifest,
+    so a LATER build_index(resume=True) on the same warehouse
+    transparently recomputes flat (and its downstream stages) from the
+    stored docs table; Iceberg-mode appends skip their flat parity
+    append while vacuumed (gated on the flat manifest)."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    fsio.remove(wh.path("postings_flat"), recursive=True)
+    fsio.remove(wh.manifest_path("flat"))
 
 
 def compact_index(

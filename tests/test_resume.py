@@ -105,3 +105,32 @@ def test_search_works_after_resume(spark, tmp_path):
     os.remove(wh.manifest_path("blocks"))
     wh = build_index(spark, pages_df(spark, 80), root, n_buckets=2, block_size=16, input_id="c80")
     assert search(spark, wh, "biology").count() > 0
+
+
+def test_vacuum_flat_lifecycle(spark, tmp_path):
+    """vacuum_flat drops the ~40%-of-warehouse flat intermediate: queries
+    still serve, the table and manifest are gone, and a later
+    resume=True build transparently recomputes flat + downstream with
+    bit-identical postings."""
+    from lsearch_spark.build import vacuum_flat
+    from lsearch_spark.query import invalidate_cache
+
+    root = str(tmp_path / "whv")
+    pages = pages_df(spark, 80)
+    kw = dict(n_buckets=2, block_size=16, hot_df=32, n_salts=2, input_id="c80v")
+    wh = build_index(spark, pages, root, **kw)
+    snap1 = _postings_snapshot(spark, wh)
+    before = [tuple(r) for r in search(spark, root, "biology", k=5).collect()]
+
+    vacuum_flat(wh)
+    assert not os.path.exists(wh.path("postings_flat"))
+    assert wh.read_manifest("flat") is None
+    invalidate_cache(root)
+    assert [tuple(r) for r in search(spark, root, "biology", k=5).collect()] == before
+
+    # resume rebuild recomputes flat from docs; postings bit-identical
+    build_index(spark, pages, root, resume=True, **kw)
+    assert os.path.exists(wh.path("postings_flat"))
+    assert _postings_snapshot(spark, wh) == snap1
+    invalidate_cache(root)
+    assert [tuple(r) for r in search(spark, root, "biology", k=5).collect()] == before
