@@ -277,6 +277,55 @@ def cosine_topk_ivf(
     return cosine_topk(df, query_vec, k, id_col, emb_col)
 
 
+def cosine_topk_ivf_batch(
+    spark,
+    index_path: str,
+    queries: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Amortized multi-query IVF: ONE partition-pruned scan serves every
+    query (the ANN analog of query.batch_search). The scan reads the
+    UNION of all queries' top-nprobe `_cid` partitions once; a tiny
+    broadcast (query_id, _cid, qvec) map fans each row out to exactly
+    the queries probing its partition; cosine is the same JVM-side
+    zip_with/aggregate fold; per-query top-k comes from one window.
+    Per query the probed set is identical to cosine_topk_ivf's, so
+    results match the single-query path exactly.
+
+    queries: {query_id: vector}. Returns DataFrame(query_id, vec_id,
+    cosine) ordered (query_id ASC, cosine DESC, vec_id ASC)."""
+    from pyspark.sql import Window
+
+    crows = spark.read.parquet(index_path + "/centroids.parquet").collect()
+    C = np.asarray([r["centroid"] for r in sorted(crows, key=lambda r: r["cid"])], dtype=np.float64)
+    pairs = []
+    for qid, qv in queries.items():
+        q = np.asarray(qv, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        sims = C @ (q / qn if qn > 0 else q)
+        for c in np.argsort(-sims)[: max(1, nprobe)]:
+            pairs.append((str(qid), int(c), [float(x) for x in qv]))
+    if not pairs:
+        return spark.createDataFrame([], "query_id string, vec_id long, cosine double")
+    pmap = spark.createDataFrame(pairs, "query_id string, _cid int, qvec array<double>")
+    df = spark.read.parquet(index_path + "/data").filter(
+        F.col("_cid").isin(sorted({c for _, c, _ in pairs}))
+    )
+    scored = df.join(F.broadcast(pmap), "_cid").select(
+        "query_id", F.col(id_col), cosine(F.col(emb_col), F.col("qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine")
+        .orderBy("query_id", F.desc("cosine"), F.asc(id_col))
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -256,6 +256,28 @@ def test_ivf_probe_prunes_partitions_and_recalls(spark, emb, tmp_path_factory):
         assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9
 
 
+def test_ivf_batch_matches_single(spark, emb, tmp_path_factory):
+    """One shared scan for N queries must reproduce cosine_topk_ivf
+    per query exactly (same probes, same cosine fold, same tie-break)."""
+    path = str(tmp_path_factory.mktemp("ivfb") / "emb_ivf")
+    e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    ann.build_ivf_index(spark, e, path, n_centroids=8, sample=1000, iters=5)
+    qs = {
+        str(v): [float(x) for x in e.filter(F.col("vec_id") == v).first()["embedding"]]
+        for v in (3, 7, 11)
+    }
+    got = ann.cosine_topk_ivf_batch(spark, path, qs, k=5, nprobe=2).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], round(r["cosine"], 9)))
+    for qid, qv in qs.items():
+        single = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ann.cosine_topk_ivf(spark, path, qv, k=5, nprobe=2).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+
 def test_ivf_centroids_deterministic(spark, emb):
     e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     c1 = ann.ivf_centroids(e, n_centroids=4, sample=300, iters=3)
