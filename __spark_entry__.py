@@ -9,12 +9,13 @@ refined tau, and verified pruned negation; also batched (full
 operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — ALL 45 entries are
+against a full BM25 reimplementation in ANSI SQL — ALL 46 entries are
 oracle-checked, zero rows-only: pure-Python twins (the JVM-parity
 XXH64, a left-fold float64 replay, the numpy Lloyd replay, and the
 Spark-free fake-media generator) feed DuckDB the expected rows as
 VALUES for everything Spark-hash- or kernel-specific — SimHash pairs,
-LSH and IVF ANN top-k, and both multimodal entries — alongside the
+LSH and IVF ANN top-k, embedding near-dup pairs, and both multimodal
+entries — alongside the
 completeness/soundness cross-checks.
 """
 
@@ -508,6 +509,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     q["ann_ivf_top10"] = _ann_ivf
+
+    def _emb_near_dups(s, d):
+        # embedding-cosine near-dup: plant exact duplicates of vec_id<8
+        # (shifted ids), LSH-bucket self-join + exact cosine verify;
+        # FULL value oracle via the same left-fold twin machinery
+        e = _emb(s, d).withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        dup = e.filter(F.col("vec_id") < 8).withColumn(
+            "vec_id", (F.col("vec_id") + 1_000_000).cast("long")
+        )
+        pairs = ann.embedding_near_dups(e.unionByName(dup), threshold=0.95)
+        return pairs.select(
+            "a_id", "b_id", F.round("cosine", 6).alias("cosine")
+        ).orderBy("a_id", "b_id")
+
+    q["embedding_near_dup_pairs"] = _emb_near_dups
     q["embedding_norms"] = lambda s, d: _emb(s, d).select(
         "vec_id",
         F.round(ann.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("l2"),
@@ -772,6 +788,59 @@ def _media_frames_values(n: int = 120, every_n: int = 10) -> str:
     return sql
 
 
+def _emb_neardup_values(sf_dir: str, threshold: float = 0.95, n_planes: int = 12) -> str:
+    """VALUES twin of embedding_near_dup_pairs: replays the planted
+    duplicates, the left-fold LSH signatures (bucket = exact signature
+    match) and the left-fold cosines in pure Python."""
+    key = ("embdup", sf_dir, threshold, n_planes)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    vids = [int(v) for v in t["vec_id"].to_pylist()]
+    embs = [[float(x) for x in e] for e in t["embedding"].to_pylist()]
+    rows = list(zip(vids, embs)) + [(v + 1_000_000, e) for v, e in zip(vids, embs) if v < 8]
+    planes = [[float(x) for x in p] for p in ann.hyperplanes(len(embs[0]), n_planes, 7)]
+
+    def fdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fnorm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    buckets: dict[int, list] = {}
+    for vid, e in rows:
+        sig = 0
+        for i in range(n_planes):
+            if fdot(e, planes[i]) > 0:
+                sig |= 1 << i
+        buckets.setdefault(sig, []).append((vid, e))
+    out = []
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (a, ea), (b, eb) = members[i], members[j]
+                d = fnorm(ea) * fnorm(eb)
+                cos = fdot(ea, eb) / d if d > 0 else 0.0
+                if cos >= threshold:
+                    out.append((a, b, round(cos, 6)))
+    out.sort()
+    vals = ", ".join(f"({a}, {b}, {c!r})" for a, b, c in out)
+    sql = f"SELECT * FROM (VALUES {vals}) AS t(a_id, b_id, cosine)"
+    _twin_memo[key] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _toks_sql("text")
     low = _lower_sql("text")
@@ -870,6 +939,7 @@ WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
         "simhash_near_dups": _simhash_pairs_values(_oracle_sf_dir()),
         "ann_lsh_top10": _lsh_top10_values(_oracle_sf_dir()),
         "ann_ivf_top10": _ivf_top10_values(_oracle_sf_dir()),
+        "embedding_near_dup_pairs": _emb_neardup_values(_oracle_sf_dir()),
         "jaccard_consecutive": f"""
 WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
