@@ -9,7 +9,7 @@ refined tau, and verified pruned negation; also batched (full
 operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — ALL 46 entries are
+against a full BM25 reimplementation in ANSI SQL — ALL 47 entries are
 oracle-checked, zero rows-only: pure-Python twins (the JVM-parity
 XXH64, a left-fold float64 replay, the numpy Lloyd replay, and the
 Spark-free fake-media generator) feed DuckDB the expected rows as
@@ -524,6 +524,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("a_id", "b_id")
 
     q["embedding_near_dup_pairs"] = _emb_near_dups
+
+    def _ann_ivf_batch(s, d):
+        # the amortized multi-query IVF path, against the same twin
+        # machinery (per-query probe sets + left-fold rerank)
+        path = os.path.join(tempfile.gettempdir(), f"lsearch_ivf_{os.path.basename(os.path.normpath(d)) or 'root'}")
+        _ann_ivf(s, d)  # ensures the index exists (idempotent marker)
+        e = _emb(s, d)
+        qs = {
+            f"v{v}": [float(x) for x in e.filter(F.col("vec_id") == v).first()["embedding"]]
+            for v in (0, 7)
+        }
+        return ann.cosine_topk_ivf_batch(s, path, qs, k=10, nprobe=2).select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+        )
+
+    q["ann_ivf_batch_top10"] = _ann_ivf_batch
     q["embedding_norms"] = lambda s, d: _emb(s, d).select(
         "vec_id",
         F.round(ann.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("l2"),
@@ -677,18 +693,14 @@ def _lsh_top10_values(sf_dir: str, n_planes: int = 10, radius: int = 2, k: int =
     return sql
 
 
-def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
-                      nprobe: int = 2, k: int = 10, sample: int = 16_384) -> str:
-    """VALUES list of (vec_id, cosine): the IVF probe top-k replayed in
-    pure Python — the XXH64 twin reproduces Spark's xxhash64(long) sample
-    order bit-for-bit, ivf_centroids_np replays the identical numpy Lloyd
-    iterations, assignment is the same float64 matmul argmax, and the
-    exact rerank uses the same left-fold float64 accumulation as Spark's
-    aggregate(), so centroids, probed partitions and cosines all match."""
-    key = ("ivf", sf_dir, n_centroids, iters, nprobe, k, sample)
+def _ivf_twin_state(sf_dir: str, n_centroids: int = 8, iters: int = 5, sample: int = 16_384):
+    """Shared IVF twin state: (vids, embs, centroids, assignment) — the
+    XXH64 twin reproduces Spark's xxhash64(long) sample order
+    bit-for-bit, ivf_centroids_np replays the identical numpy Lloyd
+    iterations, and assignment is the same float64 matmul argmax."""
+    key = ("ivfstate", sf_dir, n_centroids, iters, sample)
     if key in _twin_memo:
         return _twin_memo[key]
-    import math
     import struct
 
     import numpy as np
@@ -697,7 +709,7 @@ def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
     from lsearch_spark.codec import xxhash64
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    vids = t["vec_id"].to_pylist()
+    vids = [int(v) for v in t["vec_id"].to_pylist()]
     embs = [[float(x) for x in e] for e in t["embedding"].to_pylist()]
     order = sorted(range(len(vids)), key=lambda i: xxhash64(struct.pack("<q", vids[i])))[:sample]
     X = np.asarray([embs[i] for i in order], dtype=np.float64)
@@ -706,11 +718,17 @@ def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
     nrm = np.linalg.norm(M, axis=1)
     nrm[nrm == 0] = 1.0
     assign = np.argmax((M / nrm[:, None]) @ C.T, axis=1)
-    qvec = embs[vids.index(0)]
-    qa = np.asarray(qvec, dtype=np.float64)
-    qn_np = np.linalg.norm(qa)
-    sims = C @ (qa / qn_np if qn_np > 0 else qa)
-    probes = {int(c) for c in np.argsort(-sims)[: max(1, nprobe)]}
+    st = (vids, embs, C, assign)
+    _twin_memo[key] = st
+    return st
+
+
+def _ivf_probe_rows(vids, embs, C, assign, qvec, nprobe: int, k: int):
+    """One query's probe + left-fold exact rerank (same float64
+    accumulation order as Spark's aggregate fold)."""
+    import math
+
+    import numpy as np
 
     def fdot(a, b):
         acc = 0.0
@@ -724,6 +742,10 @@ def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
             acc += x * x
         return math.sqrt(acc)
 
+    qa = np.asarray(qvec, dtype=np.float64)
+    qn_np = np.linalg.norm(qa)
+    sims = C @ (qa / qn_np if qn_np > 0 else qa)
+    probes = {int(c) for c in np.argsort(-sims)[: max(1, nprobe)]}
     qn = fnorm(qvec)
     rows = []
     for j, (vid, e) in enumerate(zip(vids, embs)):
@@ -732,8 +754,39 @@ def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
         d = fnorm(e) * qn
         rows.append((vid, fdot(e, qvec) / d if d > 0 else 0.0))
     rows.sort(key=lambda r: (-r[1], r[0]))
-    vals = ", ".join(f"({v}, {c!r})" for v, c in rows[:k])
+    return rows[:k]
+
+
+def _ivf_top10_values(sf_dir: str, n_centroids: int = 8, iters: int = 5,
+                      nprobe: int = 2, k: int = 10, sample: int = 16_384) -> str:
+    """VALUES list of (vec_id, cosine): the IVF probe top-k replayed in
+    pure Python (see _ivf_twin_state) — centroids, probed partitions and
+    cosines all match the Spark path exactly."""
+    key = ("ivf", sf_dir, n_centroids, iters, nprobe, k, sample)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    vids, embs, C, assign = _ivf_twin_state(sf_dir, n_centroids, iters, sample)
+    rows = _ivf_probe_rows(vids, embs, C, assign, embs[vids.index(0)], nprobe, k)
+    vals = ", ".join(f"({v}, {c!r})" for v, c in rows)
     sql = f"SELECT vec_id, round(cosine, 6) AS cosine FROM (VALUES {vals}) AS t(vec_id, cosine)"
+    _twin_memo[key] = sql
+    return sql
+
+
+def _ivf_batch_values(sf_dir: str, qvids=(0, 7), n_centroids: int = 8, iters: int = 5,
+                      nprobe: int = 2, k: int = 10, sample: int = 16_384) -> str:
+    """VALUES twin of ann_ivf_batch_top10: the batch path's per-query
+    probe sets and rerank are identical to the single-query path."""
+    key = ("ivfbatch", sf_dir, tuple(qvids), n_centroids, iters, nprobe, k, sample)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    vids, embs, C, assign = _ivf_twin_state(sf_dir, n_centroids, iters, sample)
+    out = []
+    for v in qvids:
+        for vid, c in _ivf_probe_rows(vids, embs, C, assign, embs[vids.index(v)], nprobe, k):
+            out.append((f"v{v}", vid, round(c, 6)))
+    vals = ", ".join(f"({q!r}, {vid}, {c!r})" for q, vid, c in out)
+    sql = f"SELECT * FROM (VALUES {vals}) AS t(query_id, vec_id, cosine)"
     _twin_memo[key] = sql
     return sql
 
@@ -940,6 +993,7 @@ WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
         "ann_lsh_top10": _lsh_top10_values(_oracle_sf_dir()),
         "ann_ivf_top10": _ivf_top10_values(_oracle_sf_dir()),
         "embedding_near_dup_pairs": _emb_neardup_values(_oracle_sf_dir()),
+        "ann_ivf_batch_top10": _ivf_batch_values(_oracle_sf_dir()),
         "jaccard_consecutive": f"""
 WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
