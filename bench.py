@@ -472,12 +472,17 @@ builds 26.5-60s@16; (e) control 7.45/21.2/68.0 -> builds 35-47s@16
 (pre-launch idle probe read a healthy 88 GB/s@16w — the throttle
 engages UNDER sustained load, so short probes cannot predict it).
 Build walls track the 16-worker in-run control
-monotonically across all five runs while QUERY medians stay within
-+-22% (pruned p50 366/421/422/447ms) — sustained multi-core stages
-absorb the throttle, short per-query jobs mostly dodge it. Identical
-code spanning 17.6-60s by machine phase is the quantitative form of
-the environment attribution VERDICT r3 #1 asked for; the healthy-phase
-run (a) is the engine's number.
+monotonically across all six runs ((f), after 25 min fully idle:
+control 7.5/23.9/36.2 — the 16-worker figure decayed all day and does
+NOT recover with idling — builds 24.3-45.7s@16) while QUERY medians
+stay within +-25% in EVERY phase (pruned p50
+366/421/422/447/531/405ms; exhaustive p50 586-740ms) — sustained
+multi-core stages absorb the throttle, short per-query jobs mostly
+dodge it, so the query-latency evidence is reproducible in any phase
+while build walls are machine-state-bound. Identical code spanning
+17.6-60s by machine phase is the quantitative form of the environment
+attribution VERDICT r3 #1 asked for; the healthy-phase run (a) is the
+engine's number.
 
 Flat-stage control (r4): the flat kernel + parquet write run
 Spark-FREE (mp.Pool over the same files, same 10k-row Arrow batches)
