@@ -134,3 +134,26 @@ def test_vacuum_flat_lifecycle(spark, tmp_path):
     assert _postings_snapshot(spark, wh) == snap1
     invalidate_cache(root)
     assert [tuple(r) for r in search(spark, root, "biology", k=5).collect()] == before
+
+
+def test_append_after_vacuum(spark, tmp_path):
+    """Appends never read the root flat intermediate (segments stage
+    their own chunks), so a vacuumed warehouse keeps ingesting and the
+    result equals a fresh union build."""
+    from lsearch_spark.build import append_index, vacuum_flat
+    from lsearch_spark.query import invalidate_cache
+
+    root = str(tmp_path / "whav")
+    pages = pages_df(spark, 80)
+    kw = dict(n_buckets=2, block_size=16, hot_df=32, n_salts=2)
+    wh = build_index(spark, pages.filter(F.col("doc_id") % 2 == 0), root,
+                     input_id="c80even", **kw)
+    vacuum_flat(wh)
+    append_index(spark, pages.filter(F.col("doc_id") % 2 == 1), wh)
+    invalidate_cache(root)
+    got = [tuple(r) for r in search(spark, root, "biology", k=5).collect()]
+
+    union_root = str(tmp_path / "whau")
+    build_index(spark, pages, union_root, input_id="c80all", **kw)
+    want = [tuple(r) for r in search(spark, union_root, "biology", k=5).collect()]
+    assert [(d, round(s, 9)) for d, s in got] == [(d, round(s, 9)) for d, s in want]
