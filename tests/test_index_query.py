@@ -504,6 +504,45 @@ def test_negation_range_prune_decodes_fewer_blocks(spark, whbig):
     assert kept < total / 50, (kept, total)
 
 
+def test_randomized_query_shapes_match_oracle(spark, wh, pyidx):
+    """Seeded random sweep over the full operator grammar (1-3 positive
+    terms from mixed df strata, optional '-term', optional '~term'):
+    search (exhaustive AND pruned) must match the python oracle, and
+    batch_search must match per-query search, for every sampled shape —
+    the planner picks different routes per shape, all must agree."""
+    from lsearch_spark.query import batch_search
+
+    rng = np.random.RandomState(20260817)
+    terms = sorted(pyidx.postings, key=lambda t: -len(pyidx.postings[t]))
+    hot, mid, rare = terms[:5], terms[5:50], terms[50:400]
+
+    def pick(pool):
+        return pool[int(rng.randint(len(pool)))]
+
+    queries = []
+    for _ in range(12):
+        pos = [pick((hot, mid, rare)[int(rng.randint(3))]) for _ in range(1 + int(rng.randint(3)))]
+        q = " ".join(dict.fromkeys(pos))
+        r = rng.rand()
+        if r < 0.35:
+            q += f" -{pick((hot, mid)[int(rng.randint(2))])}"
+        elif r < 0.6:
+            q += f" ~{pick(mid)}"
+        queries.append(q)
+
+    wants = {q: bm25_topk(pyidx, q, k=7) for q in queries}
+    for q in queries:
+        for prune in (False, True):
+            got = search(spark, wh, q, k=7, prune=prune).collect()
+            assert_rank_identical(got, wants[q]), (q, prune)
+    got_b = batch_search(spark, wh, {str(i): q for i, q in enumerate(queries)}, k=7).collect()
+    by_q: dict[str, list] = {}
+    for r in got_b:
+        by_q.setdefault(r["query_id"], []).append({"doc_id": r["doc_id"], "score": r["score"]})
+    for i, q in enumerate(queries):
+        assert_rank_identical(by_q.get(str(i), []), wants[q]), q
+
+
 def test_negation_edge_shapes(spark, wh):
     """Exclusion edge cases through both negation plans: excluding the
     query term itself empties the result; an absent excluded term
