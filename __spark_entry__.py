@@ -562,7 +562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal plumbing (deterministic fake decode; rows-only) ---
     q["media_image_features"] = lambda s, d: multimodal.decode_image_features(multimodal.synth_media(s, 120))
-    q["media_frame_sample"] = lambda s, d: multimodal.sample_frames(multimodal.synth_media(s, 120), every_n=10)
+    # frame_payload is hex-encoded here (not in the kernel): the driver's
+    # pandas canonicalizer sorts every column and cannot hash bytearray, so
+    # the ENTRY exposes a sortable string view of the binary frame bytes.
+    q["media_frame_sample"] = lambda s, d: multimodal.sample_frames(
+        multimodal.synth_media(s, 120), every_n=10
+    ).select("media_id", "frame_idx", F.hex("frame_payload").alias("frame_hex"))
 
     # --- generic relational ops on events (scan/agg/window/sort) ---
     q["events_by_minute"] = lambda s, d: (
@@ -835,8 +840,8 @@ def _media_frames_values(n: int = 120, every_n: int = 10) -> str:
             fi = j * every_n
             off = (fi * 7) % max(L - 8, 1)
             w8 = bytes(b[min(off + t, L - 1)] for t in range(8))
-            rows.append(f"({mid}, {fi}, {_blob_sql(w8)})")
-    sql = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, frame_idx, frame_payload)"
+            rows.append(f"({mid}, {fi}, '{w8.hex().upper()}')")
+    sql = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, frame_idx, frame_hex)"
     _twin_memo[key] = sql
     return sql
 
