@@ -334,12 +334,30 @@ def embedding_near_dups(
     n_planes: int = 12,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold: exact-match
-    LSH-bucket self-join candidates, exact cosine verify."""
+    LSH-bucket self-join candidates, exact cosine verify.
+
+    `max_bucket` caps degenerate signature buckets before the self-join —
+    at web scale many documents embed identically (empty/boilerplate pages
+    collapse to one signature), and an uncapped bucket makes the self-join
+    O(n^2). Members of an over-full bucket are dropped from THIS candidate
+    pass; such exact-duplicate clusters belong to exact dedup
+    (dedup.exact_groups on a vector hash), which finds them in one groupBy.
+    Pass max_bucket=None for the uncapped exact-semantics variant.
+    """
     first = df.select(F.size(emb_col).alias("d")).first()
     planes = hyperplanes(dim or int(first["d"]), n_planes, seed)
     sigs = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), lsh_signature(F.col(emb_col), planes).alias("sig"))
+    if max_bucket is not None:
+        small = (
+            sigs.groupBy("sig")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("sig")
+        )
+        sigs = sigs.join(small, ["sig"], "left_semi")
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))

@@ -1188,22 +1188,33 @@ def batch_search(
 
 
 # ----------------------------------------------------- query instrumentation
-def _obs_counts(obs, names: tuple = ("blocks_decoded", "postings_decoded")) -> tuple:
+def _obs_counts(
+    obs,
+    names: tuple = ("blocks_decoded", "postings_decoded"),
+    *,
+    known_empty: bool = False,
+) -> tuple:
     """Observation metrics, hardened for empty plans: when a query's
     result is statically empty, AQE's empty-relation propagation can
     replace the whole subtree — observed node included — with a
     LocalRelation, so the execution ends with NO metrics row and
     Observation.get throws (jrow has no schema). An eliminated observe
-    node means nothing was decoded: report zeros."""
+    node means nothing was decoded: report zeros.
+
+    The guard is `known_empty` (the CALLER has already collected the
+    result and seen zero rows) rather than matching the exception text —
+    the "assertion failed" message is Spark-version/Connect-dependent,
+    so substring-matching could zero a real failure on another version.
+    When rows came back, any Observation.get failure is real and
+    surfaces."""
     if obs is None:
         return tuple(0 for _ in names)
     try:
         vals = obs.get
-    except Exception as e:  # noqa: BLE001 — only the empty-row assertion
-        # (toPyRow on a schemaless empty Row) means "observe node
-        # eliminated"; anything else (connection loss, interrupted
-        # action) is a real failure and must surface
-        if "assertion failed" in str(e):
+    except Exception:  # noqa: BLE001 — see docstring: only trusted when
+        # the action already succeeded with an empty result, which is
+        # exactly the AQE empty-relation-elimination shape
+        if known_empty:
             return tuple(0 for _ in names)
         raise
     return tuple(int(vals[n] or 0) for n in names)
@@ -1280,10 +1291,11 @@ def search_with_stats(
     rows = search(spark, wh, query, k=k, mode=mode, prune=prune, probe=probe, _stats=info).collect()
     info["wall_ms"] = (time.time() - t0) * 1000.0
     obs = info.pop("_obs", None)
-    info["blocks_decoded"], info["postings_decoded"] = _obs_counts(obs)
+    empty = len(rows) == 0
+    info["blocks_decoded"], info["postings_decoded"] = _obs_counts(obs, known_empty=empty)
     obs_neg = info.pop("_obs_neg", None)
     if obs_neg is not None:
-        info["neg_ids_decoded"] = _obs_counts(obs_neg, ("neg_ids",))[0]
+        info["neg_ids_decoded"] = _obs_counts(obs_neg, ("neg_ids",), known_empty=empty)[0]
     bstats = _term_block_stats(spark, st, wh, info.get("terms") or [])
     info["blocks_total"] = int(sum(b["n_blocks"] for b in bstats.values())) or None
     info["rows_returned"] = len(rows)
@@ -1321,10 +1333,10 @@ def batch_search_with_stats(
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     bobs = binfo.pop("_obs", None)
     if bobs is not None:
-        binfo["blocks_decoded"], binfo["postings_decoded"] = _obs_counts(bobs)
+        binfo["blocks_decoded"], binfo["postings_decoded"] = _obs_counts(bobs, known_empty=not rows)
     info = {
         "n_queries": len(items),
-        "rows_out": _obs_counts(obs, ("rows_out",))[0],
+        "rows_out": _obs_counts(obs, ("rows_out",), known_empty=not rows)[0],
         "wall_ms": wall,
         **binfo,
     }

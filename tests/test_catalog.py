@@ -138,3 +138,39 @@ def test_iceberg_read_table_resolves_written_ident(spark, monkeypatch, tmp_path)
     # a different root with the SAME basename reads a different namespace
     other = catalog._ident("ice", str(tmp_path / "b" / "wh"), "term_stats")
     assert other != seen["ident"]
+
+
+def test_vacuum_flat_drops_iceberg_table(monkeypatch, tmp_path):
+    """Iceberg-mode vacuum must DROP the catalog table (postings_flat
+    lives under the ident, not wh.path), else the reclaim is a no-op
+    and external readers keep a live-but-stale flat table."""
+    from lsearch_spark import build
+
+    root = str(tmp_path / "whice")
+    wh = build.Warehouse(root)
+    import os
+
+    os.makedirs(wh.path("postings_flat"), exist_ok=True)
+    wh.write_manifest("flat", {"ok": True})
+
+    issued = []
+
+    class _SqlSpark:
+        sparkContext = _FakeSC([("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")])
+
+        def sql(self, q):
+            issued.append(q)
+
+    build.vacuum_flat(wh, _SqlSpark())
+    want_ident = catalog._ident("ice", root, "postings_flat")
+    assert issued == [f"DROP TABLE IF EXISTS {want_ident}"]
+    assert not os.path.exists(wh.path("postings_flat"))
+    assert wh.read_manifest("flat") is None
+
+    # parquet mode (spark=None or no catalog) never issues SQL
+    os.makedirs(wh.path("postings_flat"), exist_ok=True)
+    wh.write_manifest("flat", {"ok": True})
+    issued.clear()
+    build.vacuum_flat(wh)
+    assert issued == []
+    assert not os.path.exists(wh.path("postings_flat"))

@@ -291,3 +291,25 @@ def test_embedding_near_dups_self(spark, emb):
     dup = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
     pairs = ann.embedding_near_dups(emb.unionByName(dup), threshold=0.999).collect()
     assert (3, 100003) in {(r["a_id"], r["b_id"]) for r in pairs}
+
+
+def test_embedding_near_dups_max_bucket_guard(spark):
+    # 1k identical embeddings land in ONE signature bucket: uncapped that is
+    # a ~500k-pair self-join; with the cap the degenerate bucket is dropped
+    # (routed to exact dedup) while a normal planted near-dup still surfaces.
+    import pandas as pd
+
+    n = 1000
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    rows.append((5000, [0.0, 1.0, 0.0, 0.0]))
+    rows.append((5001, [0.0, 0.999, 0.001, 0.0]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    capped = ann.embedding_near_dups(df, threshold=0.99, max_bucket=10).collect()
+    got = {(r["a_id"], r["b_id"]) for r in capped}
+    assert (5000, 5001) in got
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # degenerate bucket dropped
+    # uncapped variant keeps exact semantics (spot-check on a small slice)
+    small = df.filter((F.col("vec_id") < 3) | (F.col("vec_id") >= 5000))
+    full = ann.embedding_near_dups(small, threshold=0.99, max_bucket=None).collect()
+    fgot = {(r["a_id"], r["b_id"]) for r in full}
+    assert {(0, 1), (0, 2), (1, 2), (5000, 5001)} <= fgot

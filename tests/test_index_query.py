@@ -570,3 +570,17 @@ def test_less_pruned_decodes_fewer_blocks(spark, whbig, pyidx_big):
     assert info_p["blocks_total"] and info_p["blocks_decoded"] < info_p["blocks_total"], info_p
     rows_e, _ = search_with_stats(spark, whbig, q, k=10, prune=False)
     assert [tuple(r) for r in rows_p] == [tuple(r) for r in rows_e]
+
+
+def test_with_stats_empty_result_zero_counts(spark, wh):
+    """A query with zero hits can have its observe node AQE-eliminated;
+    the stats path must report zeros (guarded on the caller-known empty
+    result, not on Spark's exception text — ADVICE r4)."""
+    from lsearch_spark.query import search_with_stats
+
+    rows, info = search_with_stats(spark, wh, "zzzznosuchterm", k=5)
+    assert rows == []
+    assert info["blocks_decoded"] == 0 and info["postings_decoded"] == 0
+    # and a non-empty result with a healthy observe node still surfaces counts
+    rows2, info2 = search_with_stats(spark, wh, "biology", k=5, prune=False)
+    assert rows2 and info2["blocks_decoded"] > 0
