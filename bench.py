@@ -157,6 +157,42 @@ def memcpy_control(workers=(1, 4, 16), mb: int = 256, dur: float = 1.5) -> dict:
     return out
 
 
+HEALTHY_1W_GBPS = 10.2  # known-good 1-worker memcpy rate for this probe
+
+
+def health_gate() -> tuple[list[dict], str]:
+    """Run the memcpy control BEFORE any measurement (VERDICT r4 #2):
+    BENCH_r04's numbers were taken in a phase where the same-session
+    control read 0.06 GB/s at 1 worker — 170x below healthy — making the
+    build-wall regression unattributable. Probe first; if the 1-worker
+    rate is under ~50% of the healthy reference, sleep and re-probe up
+    to LSEARCH_BENCH_HEALTH_RETRIES times (default 3 x 60s), then
+    proceed anyway with the phase stamped in the JSON — the driver's
+    bench run must terminate, so the gate defers, never blocks.
+
+    Returns (all probes taken, 'healthy'|'degraded' verdict of the LAST
+    probe). Every probe is recorded so a deferred-then-healthy run shows
+    its history."""
+    retries = int(os.environ.get("LSEARCH_BENCH_HEALTH_RETRIES", "3"))
+    wait_s = int(os.environ.get("LSEARCH_BENCH_HEALTH_WAIT", "60"))
+    probes: list[dict] = []
+    for attempt in range(retries + 1):
+        c = memcpy_control()
+        c["t"] = round(time.time(), 1)
+        probes.append(c)
+        if c["1"] >= 0.5 * HEALTHY_1W_GBPS:
+            return probes, "healthy"
+        if attempt < retries:
+            print(
+                f"# health gate: 1-worker memcpy {c['1']} GB/s < 50% of "
+                f"healthy {HEALTHY_1W_GBPS}; waiting {wait_s}s "
+                f"(attempt {attempt + 1}/{retries})",
+                file=sys.stderr,
+            )
+            time.sleep(wait_s)
+    return probes, "degraded"
+
+
 def _build_once(cores: int, src: str, wh_dir: str) -> tuple[float, dict]:
     """One clean-JVM build in a subprocess; returns (seconds, stage walls)."""
     import subprocess
@@ -186,6 +222,7 @@ def main() -> None:
     lo = max(2, hi // 4)
 
     src = corpus_parquet(n_docs)
+    health_probes, health = health_gate()
 
     # N->4N on PHYSICAL cores: this box exposes 32 logical CPUs = 16
     # physical + SMT (raw-CPU microbenchmark: 0.91 efficiency at 8
@@ -335,6 +372,8 @@ def main() -> None:
         "batch_rare_total_sec": round(batch_rare_sec, 4),
         "batch_rare_per_query_ms": round(1000.0 * batch_rare_sec / max(len(bq_rare), 1), 1),
         "control_memcpy_gbps": control,
+        "health_gate": health,
+        "health_probes": health_probes,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -362,6 +401,7 @@ shuffle.partitions = 2x cores.
 | blocks decoded, "the -biology" (pruned negation) | {prune_stats['the_neg_biology']['blocks_decoded']} of {prune_stats['the_neg_biology']['blocks_total']} | exact, verified={prune_stats['the_neg_biology']['verified']} |
 | blocks decoded, "physics -the" | {prune_stats['physics_neg_the']['blocks_decoded']} of {prune_stats['physics_neg_the']['blocks_total']} | exact top-10 |
 | same-session memcpy control (GB/s @1/4/16 workers) | {control['1']} / {control['4']} / {control['16']} | Spark-free; healthy ref ~10.2/28.8/100.9 |
+| pre-run health gate | {health} ({len(health_probes)} probe(s); last 1w {health_probes[-1]['1']} GB/s) | probe-first, defer-if-throttled (r4 #2) |
 | build reps local[{lo}] | {build_reps[lo]} | interleaved |
 | build reps local[{hi}] | {build_reps[hi]} | interleaved |
 | batch_search, {len(bq_rare)} rare/mid-df queries, ONE job | {batch_rare_sec:.2f} s = {1000.0 * batch_rare_sec / max(len(bq_rare), 1):.0f} ms/query | the eval-pipeline shape; vs ~{p50_pruned * 1000:.0f} ms/query interactive |

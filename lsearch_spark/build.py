@@ -619,6 +619,61 @@ def _impact_ladders(postings: DataFrame) -> DataFrame:
     return per_salt.groupBy("term").agg(F.collect_list("salt_ladder").alias("impact_ladder"))
 
 
+def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
+    """Parquet-mode feed for the flat kernel: python tasks open the docs
+    parquet files THEMSELVES (pyarrow) instead of being fed the token
+    stream over the JVM->Python Arrow socket.
+
+    Why: the flat kernel is pure python/numpy, so with the JVM scan the
+    whole (decompressed) token stream — several hundred MB per million
+    docs — crosses the local socket once on the way in. Task metrics
+    show the JVM side ~idle (executorCpuTime ~10% of executorRunTime);
+    the transfer is memory-bandwidth-bound and inherits the machine's
+    bandwidth phases, which is exactly the stage-scaling instability
+    BENCH_r03/r04 recorded. Reading the parquet bytes python-side costs
+    the same disk reads the JVM scan would do (executors stream from
+    shared storage either way — the standard mapInPandas-over-splits
+    pattern) but moves 10x fewer bytes per doc into the worker.
+
+    Task layout: one row per docs file, assigned round-robin over
+    size-descending files to ~4 tasks/core (waves smooth residual skew;
+    files within one extract write are near-uniform). Deterministic for
+    a given docs table, so resumed/replayed builds chunk identically.
+
+    Returns None when the layout isn't direct-readable (Iceberg catalog
+    owns the table; scheme'd warehouse paths like s3a:// that local
+    pyarrow can't open through fsio; empty/missing listing) — the caller
+    falls back to the JVM scan feed.
+    """
+    if catalog.iceberg_catalog(spark) is not None or fsio.has_scheme(docs_dir):
+        return None
+    try:
+        sizes = fsio.file_sizes(os.path.join(docs_dir, "*.parquet"))
+    except Exception:
+        return None
+    if not sizes:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    n_tasks = max(1, min(len(sizes), 4 * par))
+    rows = [
+        (i % n_tasks, path)
+        for i, (path, _) in enumerate(sorted(sizes, key=lambda x: -x[1]))
+    ]
+    kern = _make_flat_mapper(block_size)
+
+    def feed(batches):
+        import pyarrow.parquet as pq
+
+        for rb in batches:
+            for path in rb["path"].to_pylist():
+                pf = pq.ParquetFile(path)
+                for b in pf.iter_batches(batch_size=8192, columns=["doc_id", "tokens"]):
+                    yield from kern([b])
+
+    sdf = spark.createDataFrame(rows, "task int, path string").repartition(n_tasks, "task")
+    return sdf.mapInArrow(feed, FLAT_SCHEMA)
+
+
 def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
     """Partition count for the (term, salt) merge shuffle.
 
@@ -770,6 +825,17 @@ def build_index(
         # shuffle that would dominate at 100 TB. bucket is added
         # JVM-side after the kernel.
         #
+        # Parquet-mode fast path: python tasks read the docs parquet
+        # SPLITS directly (_flat_direct_scan) instead of receiving the
+        # token stream over the JVM->Python Arrow socket. The kernel is
+        # identical; only the feed changes. Measured (600k docs, 16
+        # cores, 3 interleaved reps): socket-fed 14-30s wall and
+        # phase-hostage (the transfer collapses with the machine's
+        # memory-bandwidth phases; JVM task CPU is ~10% of task wall,
+        # the rest is waiting on the pipe), direct-read 5.8-7.5s and
+        # stable, within ~25% of the Spark-free kernel floor. Falls
+        # back to the JVM scan for Iceberg catalogs / scheme'd paths.
+        #
         # The docs token table compresses ~10x vs the raw pages, so the
         # default split size leaves this CPU-bound kernel with barely one
         # task per core (measured: 22 partitions at 16 cores -> straggler
@@ -782,19 +848,21 @@ def build_index(
         # per core, bounded [2MB, 32MB].
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         try:
-            try:
-                docs_bytes = sum(
-                    sz for _, sz in fsio.file_sizes(os.path.join(wh.path("docs"), "*.parquet"))
-                )
-            except Exception:
-                docs_bytes = 0
-            par = spark.sparkContext.defaultParallelism
-            mpb = min(32 << 20, max(2 << 20, docs_bytes // (3 * par))) if docs_bytes else 4 << 20
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(mpb)))
-            docs_in = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
-            flat = (
-                docs_in.mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
-                .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            flat_raw = _flat_direct_scan(spark, wh.path("docs"), block_size)
+            if flat_raw is None:  # Iceberg / scheme'd path / no listing
+                try:
+                    docs_bytes = sum(
+                        sz for _, sz in fsio.file_sizes(os.path.join(wh.path("docs"), "*.parquet"))
+                    )
+                except Exception:
+                    docs_bytes = 0
+                par = spark.sparkContext.defaultParallelism
+                mpb = min(32 << 20, max(2 << 20, docs_bytes // (3 * par))) if docs_bytes else 4 << 20
+                spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(mpb)))
+                docs_in = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
+                flat_raw = docs_in.mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
+            flat = flat_raw.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
             flat, obs = _observed(flat, "flat")
             # NOT partitionBy(bucket): every consumer (term_stats, blocks)
@@ -1096,10 +1164,15 @@ def append_index(
     stats_old = wh.corpus_stats(spark)  # pre-flip: resolves the current epoch
 
     # ---- stage: segment partial chunks ----
-    chunks = (
-        seg_docs.select("doc_id", "tokens")
-        .mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    # same direct-read feed as the base build's flat stage (the segment
+    # docs were just written to segp("docs"), a plain parquet dir)
+    chunks_raw = _flat_direct_scan(spark, segp("docs"), block_size)
+    if chunks_raw is None:
+        chunks_raw = seg_docs.select("doc_id", "tokens").mapInArrow(
+            _make_flat_mapper(block_size), FLAT_SCHEMA
+        )
+    chunks = chunks_raw.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
     chunks.write.mode("overwrite").parquet(segp("postings_flat"))
     seg_chunks = spark.read.parquet(segp("postings_flat"))

@@ -151,6 +151,24 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+def decode_chunk_rows(row):
+    """Decode one flat-chunk row (build.FLAT_SCHEMA) back to per-doc
+    postings: yields (doc_id, tf, positions, doc_len). Test/verification
+    helper — the engine never decodes chunks row-at-a-time in a hot path
+    (the blocks kernel consumes them vectorized)."""
+    ids = decode_ids_signed(bytes(row["doc_ids"]))
+    tfs = varint_decode(bytes(row["tfs"]))
+    dls = varint_decode(bytes(row["doc_lens"]))
+    pvals, poffs = decode_positions_flat(bytes(row["positions"]), tfs)
+    for i, did in enumerate(ids):
+        yield (
+            int(did),
+            int(tfs[i]),
+            [int(x) for x in pvals[poffs[i] : poffs[i + 1]]],
+            int(dls[i]),
+        )
+
+
 def decode_positions_flat(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized twin of decode_positions: one segmented cumsum instead
     of a per-doc loop. Returns (values, offsets) with len(offsets) ==

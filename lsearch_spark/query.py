@@ -1193,28 +1193,39 @@ def _obs_counts(
     names: tuple = ("blocks_decoded", "postings_decoded"),
     *,
     known_empty: bool = False,
+    allow_eliminated: bool = False,
 ) -> tuple:
-    """Observation metrics, hardened for empty plans: when a query's
-    result is statically empty, AQE's empty-relation propagation can
-    replace the whole subtree — observed node included — with a
-    LocalRelation, so the execution ends with NO metrics row and
-    Observation.get throws (jrow has no schema). An eliminated observe
-    node means nothing was decoded: report zeros.
+    """Observation metrics, hardened for eliminated observe nodes: AQE's
+    empty-relation propagation can replace an observed subtree —
+    CollectMetrics included — with a LocalRelation, so the execution
+    ends with NO metrics row and Observation.get throws (jrow has no
+    schema). An eliminated observe node means nothing flowed through it:
+    zeros are the EXACT values, not a fallback.
 
-    The guard is `known_empty` (the CALLER has already collected the
-    result and seen zero rows) rather than matching the exception text —
-    the "assertion failed" message is Spark-version/Connect-dependent,
-    so substring-matching could zero a real failure on another version.
-    When rows came back, any Observation.get failure is real and
-    surfaces."""
+    Two sound guards, no exception-text matching (the "assertion failed"
+    message is Spark-version/Connect-dependent, so substring-matching
+    could zero a real failure on another version):
+
+    - `known_empty`: the CALLER collected the result and saw zero rows.
+      Right for observations on the main scoring plan — that subtree can
+      only be eliminated when the whole result is statically empty.
+    - `allow_eliminated`: the observed node sits on a SIDE branch (the
+      '-term' exclusion feed of a LEFT ANTI join) that AQE can find
+      empty at runtime and drop even though the main result is
+      non-empty — e.g. 'tiebreak -the' when the range prune keeps zero
+      excluded blocks: the final adaptive plan contains no join and no
+      CollectMetrics, and 0 ids decoded is precisely what happened. The
+      caller only passes this AFTER its action succeeded, so the failure
+      can't be masking a query error (a dead session/driver fails the
+      action itself, not just the metrics read)."""
     if obs is None:
         return tuple(0 for _ in names)
     try:
         vals = obs.get
-    except Exception:  # noqa: BLE001 — see docstring: only trusted when
-        # the action already succeeded with an empty result, which is
-        # exactly the AQE empty-relation-elimination shape
-        if known_empty:
+    except Exception:  # noqa: BLE001 — see docstring for why this is
+        # trusted: either the action returned zero rows, or the observed
+        # branch was adaptively eliminated after a successful action
+        if known_empty or allow_eliminated:
             return tuple(0 for _ in names)
         raise
     return tuple(int(vals[n] or 0) for n in names)
@@ -1295,7 +1306,9 @@ def search_with_stats(
     info["blocks_decoded"], info["postings_decoded"] = _obs_counts(obs, known_empty=empty)
     obs_neg = info.pop("_obs_neg", None)
     if obs_neg is not None:
-        info["neg_ids_decoded"] = _obs_counts(obs_neg, ("neg_ids",), known_empty=empty)[0]
+        info["neg_ids_decoded"] = _obs_counts(
+            obs_neg, ("neg_ids",), known_empty=empty, allow_eliminated=True
+        )[0]
     bstats = _term_block_stats(spark, st, wh, info.get("terms") or [])
     info["blocks_total"] = int(sum(b["n_blocks"] for b in bstats.values())) or None
     info["rows_returned"] = len(rows)

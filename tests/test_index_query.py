@@ -584,3 +584,37 @@ def test_with_stats_empty_result_zero_counts(spark, wh):
     # and a non-empty result with a healthy observe node still surfaces counts
     rows2, info2 = search_with_stats(spark, wh, "biology", k=5, prune=False)
     assert rows2 and info2["blocks_decoded"] > 0
+
+
+def test_flat_direct_scan_equals_socket_feed(spark, tmp_path):
+    """The direct-read feed (python opens docs parquet splits itself)
+    must produce the same postings CONTENT as the JVM-scan feed: same
+    per-(term,doc) tf/positions after decode, same df/cf totals. Chunk
+    boundaries may differ (different batch segmentation) — semantics are
+    chunk-invariant by design."""
+    from lsearch_spark.build import FLAT_SCHEMA, _flat_direct_scan, _make_flat_mapper
+    from lsearch_spark.codec import decode_chunk_rows
+
+    docs_dir = str(tmp_path / "docs")
+    pages_df(spark, 120).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.split(F.lower("text"), r"\s+").alias("tokens"),
+    ).repartition(6).write.parquet(docs_dir)
+
+    direct = _flat_direct_scan(spark, docs_dir, 16)
+    assert direct is not None
+    socket_fed = (
+        spark.read.parquet(docs_dir)
+        .select("doc_id", "tokens")
+        .mapInArrow(_make_flat_mapper(16), FLAT_SCHEMA)
+    )
+
+    def postings_map(df):
+        out = {}
+        for r in df.collect():
+            for did, tf, positions, dl in decode_chunk_rows(r):
+                out[(r["term"], did)] = (tf, tuple(positions), dl)
+        return out
+
+    a, b = postings_map(direct), postings_map(socket_fed)
+    assert a == b and len(a) > 100
