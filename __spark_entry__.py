@@ -302,6 +302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_top10"] = lambda s, d: _bm25(s, d, "data query")
     q["bm25_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", prune=True)
     q["bm25_and_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and")
+    # conjunctive pruning (r5): balanced pair through the AND planner
+    # (probe-gated; falls to exhaustive when not worth it — exact either
+    # way), and a selective rare+hot pair that takes the candidate-driven
+    # range-semi-join plan (O(df_rare) work at any corpus size)
+    q["bm25_and_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and", prune=True)
+    q["bm25_and_selective_top10"] = lambda s, d: _bm25(s, d, "dup batch", mode="and", prune=True)
     q["bm25_negation_top10"] = lambda s, d: _bm25(s, d, "data -query")
     # negation through the verify-and-fallback pruned path (exactness is
     # a-posteriori verified in search(); same SQL oracle as exhaustive)
@@ -954,6 +960,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pruned_top10": _bm25_sql(["data", "query"]),
         "bm25_stopword_pair_top10": _bm25_sql(["batch", "small"]),
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
+        "bm25_and_pruned_top10": _bm25_sql(["data", "query"], mode="and"),
+        "bm25_and_selective_top10": _bm25_sql(["dup", "batch"], mode="and"),
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_compacted_top10": _bm25_sql(["data", "query"]),
         "bm25_streamed_top10": _bm25_sql(["data", "query"]),

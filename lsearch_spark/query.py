@@ -399,6 +399,29 @@ def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
 _NEG_DOCSET_MAX_POSTINGS = 8_000_000
 
 
+def _ids_per_term(spark, wh, st, terms: list[str]) -> dict[str, np.ndarray]:
+    """Driver-decoded doc_id sets, one SORTED np.int64 array per term:
+    ONE column-pruned job fetches the raw doc_ids blobs (~2.5 bytes/id
+    compressed) for every uncached term, vectorized-decodes them on the
+    driver. Memoized per warehouse + term — single-query docset
+    exclusions and batch unions share the cache. Callers gate total
+    volume (_NEG_DOCSET_MAX_POSTINGS) BEFORE calling."""
+    cache = st.setdefault("term_ids_cache", {})
+    missing = sorted(t for t in terms if t not in cache)
+    if missing:
+        rows = _postings_for(spark, wh, st, missing).select("term", "doc_ids").collect()
+        parts: dict[str, list] = {t: [] for t in missing}
+        for r in rows:
+            parts[r["term"]].append(decode_ids_signed(bytes(r["doc_ids"])))
+        for t in missing:
+            cache[t] = (
+                np.unique(np.concatenate(parts[t])).astype(np.int64)
+                if parts[t]
+                else np.empty(0, np.int64)
+            )
+    return {t: cache[t] for t in terms}
+
+
 def _neg_docset(spark, wh, st, neg: list[str], dfs: dict[str, int]):
     """(broadcast sorted np.int64 exclusion ids) | None when over the
     size gate. Memoized per warehouse + term set — repeat queries with
@@ -412,9 +435,9 @@ def _neg_docset(spark, wh, st, neg: list[str], dfs: dict[str, int]):
     cache = st.setdefault("docset_bc", {})
     if key in cache:
         return cache[key]
-    rows = _postings_for(spark, wh, st, live_neg).select("doc_ids").collect()
-    parts = [decode_ids_signed(bytes(r["doc_ids"])) for r in rows]
-    ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    per_term = _ids_per_term(spark, wh, st, live_neg)
+    arrs = [a for a in per_term.values() if a.size]
+    ids = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
     bc = spark.sparkContext.broadcast(ids.astype(np.int64))
     cache[key] = bc
     return bc
@@ -603,6 +626,34 @@ def _block_filter(terms: list[str], thetas: dict[str, float]):
     return reduce(lambda a, b: a | b, conds)
 
 
+def _routed_blocks(st: dict, live: list[str], thetas: dict[str, float], imp: set[str]) -> DataFrame:
+    """The theta-filtered routed scan (one shared implementation behind
+    search, AND-mode search and batch_search): hot terms read a
+    block_max_wand-filtered prefix of their impact-ordered copy (kind=1
+    partition), cold terms their doc_id-ordered blocks, both
+    bucket-partition-pruned with the theta comparison pushed into the
+    parquet scan."""
+    sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
+    hot = [t for t in live if t in imp]
+    cold = [t for t in live if t not in imp]
+    parts = []
+    if cold:
+        bks = sorted({st["buckets"][t] for t in cold})
+        parts.append(
+            st["postings_rel"]
+            .filter(F.col("bucket").isin(bks) & _block_filter(cold, thetas))
+            .select(*sel)
+        )
+    if hot:
+        bks = sorted({st["buckets"][t] for t in hot})
+        parts.append(
+            st["impact_rel"]
+            .filter(F.col("bucket").isin(bks) & _block_filter(hot, thetas))
+            .select(*sel)
+        )
+    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+
 def _impact_terms(spark, st: dict, wh: Warehouse) -> set[str]:
     """Terms with a complete impact-ordered posting copy (build.py impact
     stage; appends keep these terms covered). Memoized per warehouse;
@@ -706,6 +757,100 @@ def _probe_tau(spark, st: dict, hot_live: list[str], idf_map: dict[str, float],
     return s - abs(s) * 1e-9 - 1e-12
 
 
+def _probe_tau_and(spark, st: dict, wh: Warehouse, live: list[str],
+                   idf_map: dict[str, float], avgdl: float, k: int,
+                   target_postings: int = 8192) -> float:
+    """Conjunctive tau (VERDICT r4 #7, MaxScore for AND): ONE small job
+    decodes a prefix of EVERY live term's postings — the impact-ordered
+    copy's head for hot terms (highest-wand postings first), the
+    doc_id-ordered head otherwise — keeps only docs that matched ALL
+    terms WITHIN the prefix, and returns the k-th best partial sum.
+
+    Validity: each such doc genuinely contains every query term (each
+    (term, doc) posting exists exactly once per routed copy, and every
+    term routes to exactly one copy here, so hits == n_terms <=> all
+    terms present), and its prefix sum only misses pruned-away positive
+    contributions, so it lower-bounds the doc's true score. k such docs
+    therefore prove the true k-th best CONJUNCTIVE score >= the k-th
+    best prefix sum -> a valid tau for the AND block filter. Returns
+    -inf when fewer than k all-term docs appear in the prefix (selective
+    conjunctions — the candidate-driven plan handles those)."""
+    block_size = int(st["cfg"].get("block_size") or 128)
+    n_salts = max(1, int(st["cfg"].get("n_salts") or 1))
+    per_salt = max(4, -(-target_postings // (block_size * n_salts)))
+    imp = _impact_terms(spark, st, wh)
+    hot = [t for t in live if t in imp]
+    cold = [t for t in live if t not in imp]
+    parts = []
+    if hot:
+        parts.append(
+            st["impact_rel"].filter(
+                F.col("bucket").isin(sorted({st["buckets"][t] for t in hot}))
+                & F.col("term").isin(hot)
+                & (F.col("block_id") < per_salt)
+            )
+        )
+    if cold:
+        parts.append(
+            st["postings_rel"].filter(
+                F.col("bucket").isin(sorted({st["buckets"][t] for t in cold}))
+                & F.col("term").isin(cold)
+                & (F.col("block_id") < per_salt)
+            )
+        )
+    probe = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    rows = (
+        _decode_score_partials(probe, {t: idf_map[t] for t in live}, avgdl)
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("s"), F.sum("hits").alias("h"))
+        .filter(F.col("h") == len(live))
+        .orderBy(F.desc("s")).limit(k).collect()
+    )
+    if len(rows) < k:
+        return float("-inf")
+    s = float(rows[-1]["s"])
+    return s - abs(s) * 1e-9 - 1e-12
+
+
+def _and_candidate_blocks(spark, wh: Warehouse, st: dict, live: list[str], dfs: dict[str, int]):
+    """Candidate-driven conjunction — the selective-AND scale plan
+    ('w0003 AND the' at web scale): every AND result must contain the
+    RAREST term, so its doc_ids (one ids-only column-pruned decode,
+    O(df_rare)) are the complete candidate set; the other terms' blocks
+    are range-semi-joined against it on block METADATA before any
+    decode (same machinery as phrase_search phase 1b / negation range
+    pruning), making the whole query O(df_rare) however hot the other
+    terms are.
+
+    Exactness: a candidate doc's every other-term block covers its
+    doc_id, hence intersects the candidate set and survives the
+    semi-join -> candidates get complete scores and hit counts. A
+    non-candidate doc lacks the rare term entirely, so its hit count
+    can never reach n_terms and the AND filter drops it regardless of
+    which of its blocks were decoded. Returns the pruned block scan, or
+    None when the shape doesn't qualify (gates all driver-side from
+    term_stats, mirroring _neg_range_eligible: candidates fit the
+    broadcast, the others are >=4x larger so the prune pays, and the
+    BNLJ probe product is bounded)."""
+    if "min_doc_id" not in st["postings_rel"].columns:
+        return None
+    rare = min(live, key=lambda t: dfs[t])
+    others = [t for t in live if t != rare]
+    if not others:
+        return None
+    df_r, sum_o = dfs[rare], sum(dfs[t] for t in others)
+    if df_r == 0 or df_r > _NEG_RANGE_MAX_CAND or sum_o <= 4 * df_r:
+        return None
+    bs = _term_block_stats(spark, st, wh, others)
+    if len(bs) != len(others):
+        return None
+    if df_r * sum(b["n_blocks"] for b in bs.values()) > _PHRASE_BNLJ_MAX:
+        return None
+    cand = _decode_blocks_ids_only(_postings_for(spark, wh, st, [rare])).distinct()
+    oblocks = _range_semi_join(_postings_for(spark, wh, st, others), cand)
+    return _postings_for(spark, wh, st, [rare]).unionByName(oblocks)
+
+
 def search(
     spark: SparkSession,
     warehouse: str | Warehouse,
@@ -727,10 +872,14 @@ def search(
     DOES prune: a df-aware deeper tau plus a-posteriori verification
     (exhaustive rerun on shortfall). '~less' terms prune too (tau is
     lowered by the less terms' total upper bound). Depth is not
-    K_TOP-bounded — impact ladders extend tau formation to any k. The
-    planner degrades to the single-job exhaustive scan only where tau's
-    witness argument breaks (AND mode, neg+less combined) or stats are
-    missing (pre-v2 indexes).
+    K_TOP-bounded — impact ladders extend tau formation to any k.
+    mode="and" prunes too, via two exact plans chosen by shape: a
+    candidate-driven range semi-join seeded by the rarest term
+    (selective conjunctions, O(df_rare)) or a conjunctive probe tau +
+    block-max filter (stopword conjunctions). The planner degrades to
+    the single-job exhaustive scan only where no sound plan exists
+    (AND+neg / neg+less combined, probe-not-worth-it shapes) or stats
+    are missing (pre-v2 indexes).
 
     probe governs the tau-refinement job for disjunctive multi-stopword
     shapes ("of and"): "auto" (default) runs it only when the estimated
@@ -794,9 +943,9 @@ def search(
 
     tau = float("-inf")
     pruned = False
-    if prune and mode == "or" and not (neg and live_less):
-        # AND keeps the exhaustive (still single-job) plan — hit-count
-        # filtering breaks tau's witness argument. Negation prunes with a
+    if prune and (mode == "or" or len(live) == 1) and not (neg and live_less):
+        # (single-term AND == OR, so it shares this branch; multi-term
+        # AND gets its own two plans below.) Negation prunes with a
         # df-aware deeper tau and an A-POSTERIORI verification (below):
         # exactness never depends on the witnesses surviving the anti-join.
         # '~less' prunes by LOWERING tau by the less terms' total upper
@@ -892,29 +1041,65 @@ def search(
             if probe is True or est_kept < 0.6 * tot:
                 # routed scan: hot terms read a tau-prefix of their
                 # impact-ordered copy, cold terms the doc_id-ordered blocks
-                sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
-                parts = []
-                if cold_live:
-                    bks = sorted({st["buckets"][t] for t in cold_live})
-                    parts.append(
-                        st["postings_rel"]
-                        .filter(F.col("bucket").isin(bks) & _block_filter(cold_live, thetas))
-                        .select(*sel)
-                    )
-                if hot_live:
-                    bks = sorted({st["buckets"][t] for t in hot_live})
-                    parts.append(
-                        st["impact_rel"]
-                        .filter(F.col("bucket").isin(bks) & _block_filter(hot_live, thetas))
-                        .select(*sel)
-                    )
-                blocks = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+                blocks = _routed_blocks(st, live, thetas, imp)
                 pruned = True
             if _stats is not None:
                 # plan-choice observability (the --strats analog records
                 # WHAT the cost-based planner decided and on what numbers)
                 _stats["plan"] = ("routed+probe" if probed else "routed") if pruned else "exhaustive"
                 _stats["est_kept_blocks"] = est_kept
+    elif prune and mode == "and" and len(live) >= 2 and not neg and not live_less:
+        # Conjunctive pruning (VERDICT r4 #7), two exact plans by shape:
+        #
+        # 1. CANDIDATE-DRIVEN (selective AND, 'w0003 the'): the rarest
+        #    term's ids bound the result set; other terms' blocks are
+        #    range-semi-joined against them before any decode ->
+        #    O(df_rare) whatever the other terms' df. No tau involved.
+        # 2. PROBE TAU (conjunctive stopword pair, 'of and'): the k-th
+        #    best ALL-TERMS-HIT partial sum over a one-job prefix scan
+        #    lower-bounds the true conjunctive k-th best, and the OR
+        #    block filter (theta_t from the SUM of all terms' UBs)
+        #    applies verbatim: a true-AND doc with score >= tau keeps
+        #    every block (exact score AND complete hit count -> it
+        #    survives the n_terms_hit filter), while any doc that lost a
+        #    block has true score < tau and either fails the hit filter
+        #    or ranks below the >= k exact docs. Unlike negation, tau's
+        #    validity is a-priori — no verify-and-fallback needed.
+        #
+        # AND+neg and AND+less stay exhaustive (still single-job):
+        # compounding the corrections complicates both proofs for rare
+        # query shapes. Single-term AND == OR and is handled above.
+        and_blocks = _and_candidate_blocks(spark, wh, st, live, dfs)
+        if and_blocks is not None:
+            blocks = and_blocks
+            pruned = True
+            if _stats is not None:
+                _stats["plan"] = "and-candidate"
+        else:
+            bstats = _term_block_stats(spark, st, wh, live)
+            ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
+            bsz = int(st["cfg"].get("block_size") or 128)
+            est_postings = sum(bstats[t]["n_blocks"] for t in live if t in bstats) * bsz
+            probe_worth = probe is True or (
+                probe == "auto" and est_postings >= _PROBE_MIN_POSTINGS
+            )
+            if all(t in bstats for t in live) and probe_worth:
+                tau = _probe_tau_and(spark, st, wh, live, idf_map, avgdl, k)
+                if tau > float("-inf"):
+                    ub_corr = max(1.0, ratio)
+                    ub = {t: idf_map[t] * bstats[t]["ub_wand"] * ub_corr for t in live}
+                    thetas = _thetas_for_tau(live, idf_map, ub, sum(ub.values()), tau, ub_corr)
+                    imp = _impact_terms(spark, st, wh)
+                    est_kept = sum(
+                        _est_kept_blocks(bstats[t], thetas[t], t in imp) for t in live
+                    )
+                    tot = sum(bstats[t]["n_blocks"] for t in live)
+                    if probe is True or est_kept < 0.6 * tot:
+                        blocks = _routed_blocks(st, live, thetas, imp)
+                        pruned = True
+                        if _stats is not None:
+                            _stats["plan"] = "and-probe"
+                            _stats["est_kept_blocks"] = est_kept
     if _stats is not None:
         _stats.setdefault("plan", "exhaustive")
         _stats["tau"] = None if tau == float("-inf") else tau
@@ -1115,25 +1300,7 @@ def batch_search(
             est_kept = sum(_est_kept_blocks(bstats[t], theta_u[t], t in imp) for t in live)
             blocks_total = sum(bstats[t]["n_blocks"] for t in live)
             if est_kept < 0.6 * blocks_total:
-                sel = ["term", "n_docs", "doc_ids", "tfs", "doc_lens"]
-                hot_live = [t for t in live if t in imp]
-                cold_live = [t for t in live if t not in imp]
-                parts = []
-                if cold_live:
-                    bks = sorted({st["buckets"][t] for t in cold_live})
-                    parts.append(
-                        st["postings_rel"]
-                        .filter(F.col("bucket").isin(bks) & _block_filter(cold_live, theta_u))
-                        .select(*sel)
-                    )
-                if hot_live:
-                    bks = sorted({st["buckets"][t] for t in hot_live})
-                    parts.append(
-                        st["impact_rel"]
-                        .filter(F.col("bucket").isin(bks) & _block_filter(hot_live, theta_u))
-                        .select(*sel)
-                    )
-                blocks = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+                blocks = _routed_blocks(st, live, theta_u, imp)
                 plan = "routed-batch"
     if _stats is not None:
         _stats.update({"plan": plan, "blocks_total": blocks_total})
@@ -1172,12 +1339,58 @@ def batch_search(
         )
     neg_pairs = [(qid, t) for qid, ts in qneg.items() for t in ts if t in dfs]
     if neg_pairs:
-        nq = spark.createDataFrame(neg_pairs, "query_id string, term string")
-        nids = _decode_blocks_ids_prov(
-            _postings_for(spark, wh, st, sorted({t for _, t in neg_pairs}))
-        ).select("term", "doc_id")
-        excl = nids.join(F.broadcast(nq), "term").select("query_id", "doc_id")
-        agg = agg.join(excl, ["query_id", "doc_id"], "left_anti")
+        neg_terms = sorted({t for _, t in neg_pairs})
+        if sum(dfs[t] for t in neg_terms) <= _NEG_DOCSET_MAX_POSTINGS:
+            # docset fast path, batched (same gate as search()'s
+            # single-query path): the union of excluded terms is small
+            # enough to driver-decode ONCE (per-term arrays shared with
+            # the single-query cache), merge per query, and broadcast —
+            # a batch of 1,000 queries each excluding "the" decodes the
+            # stopword once, not once per query, and the per-query
+            # LEFT ANTI shuffle disappears entirely (one vectorized
+            # searchsorted filter before the top-k window instead).
+            plan = plan + "+docset"
+            per_term = _ids_per_term(spark, wh, st, neg_terms)
+            qarr = {}
+            for qid, ts in qneg.items():
+                arrs = [per_term[t] for t in ts if t in per_term and per_term[t].size]
+                if arrs:
+                    qarr[qid] = np.unique(np.concatenate(arrs))
+            bc = spark.sparkContext.broadcast(qarr)
+            if _stats is not None:
+                _stats["plan"] = plan  # already written above; refresh
+                _stats["neg_plan"] = "docset-batch"
+                _stats["neg_ids_decoded"] = int(sum(a.size for a in per_term.values()))
+
+            @F.pandas_udf("boolean")
+            def _keep(qid_s: pd.Series, did_s: pd.Series) -> pd.Series:
+                m = bc.value
+                ids = did_s.to_numpy(np.int64)
+                out = np.ones(ids.size, bool)
+                for q in qid_s.unique():
+                    arr = m.get(q)
+                    if arr is None or not arr.size:
+                        continue
+                    mask = (qid_s == q).to_numpy()
+                    sub = ids[mask]
+                    pos = np.searchsorted(arr, sub)
+                    pos[pos == arr.size] = 0
+                    out[mask] &= arr[pos] != sub
+                return pd.Series(out)
+
+            agg = agg.filter(_keep(F.col("query_id"), F.col("doc_id")))
+        else:
+            # over the gate (a >90%-df exclusion at true corpus scale):
+            # distributed ids decode + per-query LEFT ANTI — the plan
+            # that fits executor/driver memory at any df
+            nq = spark.createDataFrame(neg_pairs, "query_id string, term string")
+            nids = _decode_blocks_ids_prov(
+                _postings_for(spark, wh, st, neg_terms)
+            ).select("term", "doc_id")
+            excl = nids.join(F.broadcast(nq), "term").select("query_id", "doc_id")
+            agg = agg.join(excl, ["query_id", "doc_id"], "left_anti")
+            if _stats is not None:
+                _stats["neg_plan"] = "anti-join"
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rn", F.row_number().over(w))

@@ -586,6 +586,74 @@ def test_with_stats_empty_result_zero_counts(spark, wh):
     assert rows2 and info2["blocks_decoded"] > 0
 
 
+@pytest.mark.parametrize(
+    "q", ["biology chemistry", "the of", "quantum neural the", "tiebreak the", "the biology"]
+)
+def test_and_pruned_equals_exhaustive(spark, wh, pyidx, q):
+    """VERDICT r4 #7: pruned AND == exhaustive AND == oracle, across
+    shapes (balanced, stopword pair, mixed, rare+hot)."""
+    from lsearch_spark.query import search_with_stats
+
+    want = bm25_topk(pyidx, q, k=10, mode="and")
+    for probe in ("auto", True):
+        got, info = search_with_stats(spark, wh, q, k=10, mode="and", prune=True, probe=probe)
+        assert_rank_identical(got, want), (q, probe, info)
+    got_e = search(spark, wh, q, k=10, mode="and", prune=False).collect()
+    assert_rank_identical(got_e, want)
+
+
+def test_and_candidate_plan_engages(spark, wh, pyidx):
+    """A selective conjunction (rare term + stopword) must take the
+    candidate-driven range-semi-join plan and decode fewer blocks than
+    the candidate terms' total."""
+    from lsearch_spark.query import search_with_stats
+
+    rows, info = search_with_stats(spark, wh, "tiebreak the", k=10, mode="and")
+    assert info["plan"] == "and-candidate", info
+    assert info["blocks_total"] and info["blocks_decoded"] < info["blocks_total"], info
+    assert_rank_identical(rows, bm25_topk(pyidx, "tiebreak the", k=10, mode="and"))
+
+
+def test_and_probe_plan_prunes_stopword_pair(spark, wh, pyidx):
+    """A conjunctive stopword pair (no rare seed) must, with the probe
+    forced, form a conjunctive tau and decode fewer blocks than total —
+    with results still exact (VERDICT r4 #7 done-criterion)."""
+    from lsearch_spark.query import search_with_stats
+
+    rows, info = search_with_stats(spark, wh, "the of", k=10, mode="and", probe=True)
+    assert info["plan"] == "and-probe", info
+    assert info["tau"] is not None and info["tau"] > float("-inf")
+    assert info["blocks_total"] and info["blocks_decoded"] < info["blocks_total"], info
+    assert_rank_identical(rows, bm25_topk(pyidx, "the of", k=10, mode="and"))
+
+
+def test_batch_negation_docset_gate(spark, wh, pyidx, monkeypatch):
+    """VERDICT r4 #6: under the size gate a batch's '-term' exclusions
+    are driver-decoded ONCE (per-term arrays shared with the
+    single-query cache) and applied as a broadcast searchsorted filter —
+    no executor ids decode, no per-query anti-join shuffle. Over the
+    gate the distributed anti-join plan remains. Both branches must
+    produce identical rows and match the python oracle per query."""
+    from lsearch_spark import query as q
+
+    qs = {"a": "biology -chemistry", "b": "physics -the", "c": "quantum neural"}
+    rows_d, info_d = q.batch_search_with_stats(spark, wh, qs, k=5)
+    assert info_d["neg_plan"] == "docset-batch", info_d
+    assert info_d["neg_ids_decoded"] > 0
+    monkeypatch.setattr(q, "_NEG_DOCSET_MAX_POSTINGS", 0)
+    rows_a, info_a = q.batch_search_with_stats(spark, wh, qs, k=5)
+    assert info_a["neg_plan"] == "anti-join", info_a
+    assert [tuple(r) for r in rows_d] == [tuple(r) for r in rows_a]
+    by_q: dict[str, list] = {}
+    for r in rows_d:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, query in qs.items():
+        want = bm25_topk(pyidx, query, k=5)
+        assert_rank_identical(
+            [{"doc_id": d, "score": s} for d, s in by_q.get(qid, [])], want
+        )
+
+
 def test_flat_direct_scan_equals_socket_feed(spark, tmp_path):
     """The direct-read feed (python opens docs parquet splits itself)
     must produce the same postings CONTENT as the JVM-scan feed: same
