@@ -312,23 +312,28 @@ def main() -> None:
         from lsearch_spark.query import search_with_stats
 
         prune_stats = {}
-        for label, q in [
-            ("the", "the"),
-            ("of_and", "of and"),
-            ("the_neg_biology", "the -biology"),
-            ("physics_neg_the", "physics -the"),
+        for label, q, mode in [
+            ("the", "the", "or"),
+            ("of_and", "of and", "or"),
+            ("the_neg_biology", "the -biology", "or"),
+            ("physics_neg_the", "physics -the", "or"),
+            # r5 conjunctive plans: stopword pair via probe tau,
+            # rare-seeded via the candidate-driven range semi-join
+            ("of_and_conj", "of and", "and"),
+            ("tiebreak_the_conj", "tiebreak the", "and"),
         ]:
             # probe=True forces the tau-refinement job — the at-scale plan
             # for disjunctive stopword shapes. The default probe="auto"
             # skips it below ~4M candidate postings (this corpus), where
             # the probe's fixed extra-job cost exceeds what it saves; the
             # latency table above measures that default.
-            _, info = search_with_stats(spark, wh_hi, q, k=10, prune=True, probe=True)
+            _, info = search_with_stats(spark, wh_hi, q, k=10, mode=mode, prune=True, probe=True)
             prune_stats[label] = {
                 "blocks_decoded": info["blocks_decoded"],
                 "blocks_total": info["blocks_total"],
                 "verified": bool(info.get("prune_verified")),
                 "fallback": bool(info.get("prune_fallback")),
+                "plan": info.get("plan"),
             }
     finally:
         spark.stop()
@@ -400,6 +405,8 @@ shuffle.partitions = 2x cores.
 | blocks decoded, "of and" (probe + impact prefix) | {prune_stats['of_and']['blocks_decoded']} of {prune_stats['of_and']['blocks_total']} | exact top-10 |
 | blocks decoded, "the -biology" (pruned negation) | {prune_stats['the_neg_biology']['blocks_decoded']} of {prune_stats['the_neg_biology']['blocks_total']} | exact, verified={prune_stats['the_neg_biology']['verified']} |
 | blocks decoded, "physics -the" | {prune_stats['physics_neg_the']['blocks_decoded']} of {prune_stats['physics_neg_the']['blocks_total']} | exact top-10 |
+| blocks decoded, "of and" AND-mode (conjunctive probe tau) | {prune_stats['of_and_conj']['blocks_decoded']} of {prune_stats['of_and_conj']['blocks_total']} | exact, plan={prune_stats['of_and_conj']['plan']} |
+| blocks decoded, "tiebreak the" AND-mode (candidate-driven) | {prune_stats['tiebreak_the_conj']['blocks_decoded']} of {prune_stats['tiebreak_the_conj']['blocks_total']} | exact, plan={prune_stats['tiebreak_the_conj']['plan']} |
 | same-session memcpy control (GB/s @1/4/16 workers) | {control['1']} / {control['4']} / {control['16']} | Spark-free; healthy ref ~10.2/28.8/100.9 |
 | pre-run health gate | {health} ({len(health_probes)} probe(s); last 1w {health_probes[-1]['1']} GB/s) | probe-first, defer-if-throttled (r4 #2) |
 | build reps local[{lo}] | {build_reps[lo]} | interleaved |

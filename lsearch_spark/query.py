@@ -832,6 +832,19 @@ def _and_candidate_blocks(spark, wh: Warehouse, st: dict, live: list[str], dfs: 
     term_stats, mirroring _neg_range_eligible: candidates fit the
     broadcast, the others are >=4x larger so the prune pays, and the
     BNLJ probe product is bounded)."""
+    rare = _and_candidate_rare(spark, wh, st, live, dfs)
+    if rare is None:
+        return None
+    others = [t for t in live if t != rare]
+    cand = _decode_blocks_ids_only(_postings_for(spark, wh, st, [rare])).distinct()
+    oblocks = _range_semi_join(_postings_for(spark, wh, st, others), cand)
+    return _postings_for(spark, wh, st, [rare]).unionByName(oblocks)
+
+
+def _and_candidate_rare(spark, wh: Warehouse, st: dict, live: list[str], dfs: dict[str, int]):
+    """_and_candidate_blocks' driver-side gates (shared with plan_summary
+    so --strats reports exactly the plan search() will run): the seed
+    term when the shape qualifies, else None."""
     if "min_doc_id" not in st["postings_rel"].columns:
         return None
     rare = min(live, key=lambda t: dfs[t])
@@ -846,9 +859,7 @@ def _and_candidate_blocks(spark, wh: Warehouse, st: dict, live: list[str], dfs: 
         return None
     if df_r * sum(b["n_blocks"] for b in bs.values()) > _PHRASE_BNLJ_MAX:
         return None
-    cand = _decode_blocks_ids_only(_postings_for(spark, wh, st, [rare])).distinct()
-    oblocks = _range_semi_join(_postings_for(spark, wh, st, others), cand)
-    return _postings_for(spark, wh, st, [rare]).unionByName(oblocks)
+    return rare
 
 
 def search(
@@ -1632,6 +1643,19 @@ def plan_summary(
         lines.append(f"  -{t}: bucket={buckets[t]} df={dfs.get(t, 0)} ({route})")
     if prune:
         live = [t for t in pos if t in dfs]
+        if mode == "and" and len(live) >= 2 and not neg and not less:
+            rare = _and_candidate_rare(spark, wh, st, live, dfs)
+            if rare is not None:
+                lines.append(
+                    f"  AND: candidate-driven (seed={rare!r} df={dfs[rare]}; other terms' "
+                    "blocks range-semi-joined vs seed ids before decode)"
+                )
+            else:
+                lines.append(
+                    "  AND: probe-gated conjunctive tau (prefix scan of all terms, "
+                    "k-th best all-terms-hit sum) else exhaustive"
+                )
+            return "\n".join(lines)
         idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
         avgdl_q = float(st["stats"]["avgdl"])
         ratio = avgdl_q / max(float(st["cfg"].get("wand_avgdl") or avgdl_q), 1e-9)

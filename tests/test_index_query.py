@@ -627,6 +627,17 @@ def test_and_probe_plan_prunes_stopword_pair(spark, wh, pyidx):
     assert_rank_identical(rows, bm25_topk(pyidx, "the of", k=10, mode="and"))
 
 
+def test_plan_summary_reports_and_plans(spark, wh):
+    """--strats parity for the conjunctive planner: plan_summary must
+    name the same AND plan search() will take."""
+    from lsearch_spark.query import plan_summary
+
+    s1 = plan_summary(spark, wh, "tiebreak the", mode="and")
+    assert "candidate-driven" in s1 and "'tiebreak'" in s1, s1
+    s2 = plan_summary(spark, wh, "the of", mode="and")
+    assert "conjunctive tau" in s2, s2
+
+
 def test_batch_negation_docset_gate(spark, wh, pyidx, monkeypatch):
     """VERDICT r4 #6: under the size gate a batch's '-term' exclusions
     are driver-decoded ONCE (per-term arrays shared with the
