@@ -1222,11 +1222,19 @@ def batch_search(
     planner falls back to the plain exhaustive scan when the ladder
     estimators show the thetas keep most blocks anyway.
 
-    '-term' exclusions are supported via a per-query LEFT ANTI join
-    after the shared aggregation (ids-only decode of the union of
-    excluded terms, fanned out per query by a broadcast map). Queries
-    with exclusions run unpruned within the batch — search()'s
-    a-posteriori tau verification has no batched analog. '~less' terms
+    '-term' exclusions are supported two ways, gated on the union of
+    excluded terms' total df: under _NEG_DOCSET_MAX_POSTINGS the
+    per-term id arrays are driver-decoded ONCE (cache shared with
+    search()'s docset path), merged per query, broadcast, and applied
+    as a vectorized searchsorted filter before the top-k window — a
+    batch of 1,000 queries each excluding "the" decodes the stopword
+    once, with no per-query anti-join shuffle; over the gate, a
+    distributed ids-only decode + per-query LEFT ANTI join (fanned out
+    by a broadcast map) fits memory at any df. Queries with exclusions
+    run unpruned within the batch — search()'s a-posteriori tau
+    verification has no batched analog. Batches in mode="and" also run
+    unpruned (the shared-scan theta union has no conjunctive analog;
+    single queries DO prune AND via search()). '~less' terms
     are supported exactly as in search(): candidates come from the
     positive terms only, penalties are decoded in full from the union
     of all queries' less terms and fanned out per query by a second

@@ -543,6 +543,31 @@ def test_randomized_query_shapes_match_oracle(spark, wh, pyidx):
         assert_rank_identical(by_q.get(str(i), []), wants[q]), q
 
 
+def test_randomized_and_shapes_match_oracle(spark, wh, pyidx):
+    """Seeded random sweep over CONJUNCTIVE shapes (r5 AND planner):
+    2-3 positive terms sampled across df strata, probe in {auto, True},
+    pruned and exhaustive — every route (and-candidate / and-probe /
+    exhaustive) must match the python oracle's AND semantics."""
+    rng = np.random.RandomState(20260817 + 5)
+    terms = sorted(pyidx.postings, key=lambda t: -len(pyidx.postings[t]))
+    hot, mid, rare = terms[:5], terms[5:50], terms[50:400]
+
+    def pick(pool):
+        return pool[int(rng.randint(len(pool)))]
+
+    queries = []
+    for _ in range(10):
+        pos = [pick((hot, mid, rare)[int(rng.randint(3))]) for _ in range(2 + int(rng.randint(2)))]
+        queries.append(" ".join(dict.fromkeys(pos)))
+    for q in queries:
+        want = bm25_topk(pyidx, q, k=7, mode="and")
+        got_e = search(spark, wh, q, k=7, mode="and", prune=False).collect()
+        assert_rank_identical(got_e, want), (q, "exhaustive")
+        for probe in ("auto", True):
+            got_p = search(spark, wh, q, k=7, mode="and", prune=True, probe=probe).collect()
+            assert_rank_identical(got_p, want), (q, probe)
+
+
 def test_negation_edge_shapes(spark, wh):
     """Exclusion edge cases through both negation plans: excluding the
     query term itself empties the result; an absent excluded term
