@@ -635,10 +635,16 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
     shared storage either way — the standard mapInPandas-over-splits
     pattern) but moves 10x fewer bytes per doc into the worker.
 
-    Task layout: one row per docs file, assigned round-robin over
-    size-descending files to ~4 tasks/core (waves smooth residual skew;
-    files within one extract write are near-uniform). Deterministic for
-    a given docs table, so resumed/replayed builds chunk identically.
+    Task layout: one unit per docs FILE, assigned round-robin over
+    size-descending units to ~4 tasks/core (waves smooth residual skew;
+    files within one extract write are near-uniform). When the listing
+    has FEWER files than wanted tasks (a re-partitioned or compacted
+    docs table can be a handful of multi-GB files), units drop to ROW
+    GROUPS — pyarrow reads each file's footer once on the driver (cheap:
+    footers only, and only in the starved case) and tasks read
+    `row_groups=[i]` slices, restoring full parallelism at any file
+    count >= 1. Deterministic for a given docs table, so
+    resumed/replayed builds chunk identically.
 
     Returns None when the layout isn't direct-readable (Iceberg catalog
     owns the table; scheme'd warehouse paths like s3a:// that local
@@ -654,10 +660,23 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
     if not sizes:
         return None
     par = spark.sparkContext.defaultParallelism
-    n_tasks = max(1, min(len(sizes), 4 * par))
+    want = 4 * par
+    if len(sizes) < want:
+        import pyarrow.parquet as pq
+
+        units = []
+        for path, sz in sizes:
+            try:
+                nrg = max(1, pq.ParquetFile(path).metadata.num_row_groups)
+            except Exception:
+                return None
+            units += [(path, rg, sz / nrg) for rg in range(nrg)]
+    else:
+        units = [(path, -1, sz) for path, sz in sizes]  # -1 = whole file
+    n_tasks = max(1, min(len(units), want))
     rows = [
-        (i % n_tasks, path)
-        for i, (path, _) in enumerate(sorted(sizes, key=lambda x: -x[1]))
+        (i % n_tasks, path, rg)
+        for i, (path, rg, _) in enumerate(sorted(units, key=lambda u: -u[2]))
     ]
     kern = _make_flat_mapper(block_size)
 
@@ -665,12 +684,17 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
         import pyarrow.parquet as pq
 
         for rb in batches:
-            for path in rb["path"].to_pylist():
+            for path, rg in zip(rb["path"].to_pylist(), rb["rg"].to_pylist()):
                 pf = pq.ParquetFile(path)
-                for b in pf.iter_batches(batch_size=8192, columns=["doc_id", "tokens"]):
+                it = pf.iter_batches(
+                    batch_size=8192,
+                    columns=["doc_id", "tokens"],
+                    row_groups=None if rg < 0 else [rg],
+                )
+                for b in it:
                     yield from kern([b])
 
-    sdf = spark.createDataFrame(rows, "task int, path string").repartition(n_tasks, "task")
+    sdf = spark.createDataFrame(rows, "task int, path string, rg int").repartition(n_tasks, "task")
     return sdf.mapInArrow(feed, FLAT_SCHEMA)
 
 
