@@ -109,7 +109,9 @@ def _build_child(cores: int, src: str, wh_dir: str) -> None:
 
     shutil.rmtree(wh_dir, ignore_errors=True)
     t0 = time.time()
-    build_index(spark, pages, wh_dir, run_id=f"bench{cores}", input_id=src, resume=False, **kw)
+    # pass the PATH: extract direct-reads the pages splits python-side
+    # (html/text never transit the Arrow socket; parity test-pinned)
+    build_index(spark, src, wh_dir, run_id=f"bench{cores}", input_id=src, resume=False, **kw)
     print(f"BUILD_SECONDS={time.time() - t0:.3f}")
     from lsearch_spark.build import STAGES, Warehouse
 

@@ -651,33 +651,9 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
     pyarrow can't open through fsio; empty/missing listing) — the caller
     falls back to the JVM scan feed.
     """
-    if catalog.iceberg_catalog(spark) is not None or fsio.has_scheme(docs_dir):
+    units = _direct_read_units(spark, docs_dir)
+    if units is None:
         return None
-    try:
-        sizes = fsio.file_sizes(os.path.join(docs_dir, "*.parquet"))
-    except Exception:
-        return None
-    if not sizes:
-        return None
-    par = spark.sparkContext.defaultParallelism
-    want = 4 * par
-    if len(sizes) < want:
-        import pyarrow.parquet as pq
-
-        units = []
-        for path, sz in sizes:
-            try:
-                nrg = max(1, pq.ParquetFile(path).metadata.num_row_groups)
-            except Exception:
-                return None
-            units += [(path, rg, sz / nrg) for rg in range(nrg)]
-    else:
-        units = [(path, -1, sz) for path, sz in sizes]  # -1 = whole file
-    n_tasks = max(1, min(len(units), want))
-    rows = [
-        (i % n_tasks, path, rg)
-        for i, (path, rg, _) in enumerate(sorted(units, key=lambda u: -u[2]))
-    ]
     kern = _make_flat_mapper(block_size)
 
     def feed(batches):
@@ -694,8 +670,141 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
                 for b in it:
                     yield from kern([b])
 
-    sdf = spark.createDataFrame(rows, "task int, path string, rg int").repartition(n_tasks, "task")
-    return sdf.mapInArrow(feed, FLAT_SCHEMA)
+    return units.mapInArrow(feed, FLAT_SCHEMA)
+
+
+def _direct_read_units(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """Deterministic task layout for a python-side parquet read: one row
+    per unit (task int, path string, rg int; rg=-1 = whole file),
+    size-descending round-robin over ~4 tasks/core. When the listing has
+    FEWER files than wanted tasks (re-partitioned / compacted layouts),
+    units drop to ROW GROUPS (footers read once, driver-side, only in
+    the starved case) so parallelism never collapses. None when the dir
+    isn't direct-readable (Iceberg catalog owns it, scheme'd path local
+    pyarrow can't open, empty/missing listing)."""
+    if catalog.iceberg_catalog(spark) is not None or fsio.has_scheme(table_dir):
+        return None
+    try:
+        sizes = fsio.file_sizes(os.path.join(table_dir, "*.parquet"))
+    except Exception:
+        return None
+    if not sizes:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    want = 4 * par
+    if len(sizes) < want:
+        import pyarrow.parquet as pq
+
+        units = []
+        for path, sz in sizes:
+            try:
+                nrg = pq.ParquetFile(path).metadata.num_row_groups
+            except Exception:
+                return None
+            # nrg == 0: an empty part file (a writer task with no rows)
+            # contributes no units — requesting row group 0 of it throws
+            units += [(path, rg, sz / nrg) for rg in range(nrg)]
+    else:
+        units = [(path, -1, sz) for path, sz in sizes]
+    n_tasks = max(1, min(len(units), want))
+    rows = [
+        (i % n_tasks, path, rg)
+        for i, (path, rg, _) in enumerate(sorted(units, key=lambda u: -u[2]))
+    ]
+    sdf = spark.createDataFrame(rows, "task int, path string, rg int")
+    return sdf.repartition(n_tasks, "task")
+
+
+DOCS_SCHEMA = "doc_id long, url string, warc_ts timestamp, lang string, tokens array<string>"
+
+
+def _extract_direct_scan(spark: SparkSession, pages_dir: str, from_html: bool) -> DataFrame | None:
+    """Direct-read feed for the EXTRACT stage (build_index called with a
+    parquet PATH instead of a DataFrame — the opt-in that guarantees the
+    input really is a bare scan): python tasks open the pages parquet
+    splits themselves and run the whole html-strip + tokenize kernel in
+    one pandas pass, so the fat input columns (html bytes, raw text)
+    never cross the JVM->Python Arrow socket — only the tokenized docs
+    rows cross once, on the way OUT to the writer. Same units/layout as
+    the flat feed (_direct_read_units).
+
+    Semantics are the byte-identical twins the oracle already uses:
+    extract_text_series IS the same function the Arrow UDF wraps,
+    py_tokenize/tokens_col parity and codec.xxhash64/F.xxhash64 parity
+    are test-pinned (test_tokenize, test_codec). doc_id: existing column
+    cast to long, else XXH64(url) — exactly the JVM path."""
+    units = _direct_read_units(spark, pages_dir)
+    if units is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        first = fsio.file_sizes(os.path.join(pages_dir, "*.parquet"))[0][0]
+        names = set(pq.ParquetFile(first).schema_arrow.names)
+    except Exception:
+        return None
+    need = {"url", "warc_ts", "lang"} | ({"html", "text"} if from_html else {"text"})
+    if not need <= names:  # the JVM path would need these same columns
+        return None
+    has_doc_id = "doc_id" in names
+    cols = ["url", "warc_ts", "lang"]
+    cols += ["doc_id"] if has_doc_id else []
+    # `need` guaranteed these exist; never read html when not extracting
+    # from it — skipping the fat column IS the point of this path
+    cols += ["html", "text"] if from_html else ["text"]
+
+    def feed(batches: "object"):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .codec import xxhash64 as _xxh
+        from .extract import extract_text_series
+        from .tokenize import py_tokenize
+
+        for task_pdf in batches:
+            for path, rg in zip(task_pdf["path"], task_pdf["rg"]):
+                pf = pq.ParquetFile(path)
+                it = pf.iter_batches(
+                    batch_size=2048, columns=cols, row_groups=None if rg < 0 else [int(rg)]
+                )
+                for b in it:
+                    pdf = b.to_pandas()
+                    n = len(pdf)
+                    if not n:
+                        continue
+                    if from_html:
+                        # extracted_text_col semantics: html non-null ->
+                        # extract, else fall through to the text column
+                        text = extract_text_series(pdf["html"])
+                        mask = pdf["html"].isna().to_numpy()
+                        if mask.any():
+                            fallback = (
+                                pdf["text"] if "text" in pdf else pd.Series([None] * n)
+                            )
+                            text = text.where(~mask, fallback)
+                    else:
+                        text = pdf["text"]
+                    tokens = [py_tokenize(t) if isinstance(t, str) else [] for t in text]
+                    if has_doc_id:
+                        doc_id = pdf["doc_id"].to_numpy(np.int64)
+                    else:
+                        # F.xxhash64(NULL) leaves the hash at its seed
+                        doc_id = np.fromiter(
+                            (_xxh(u) if isinstance(u, str) else 42 for u in pdf["url"]),
+                            np.int64,
+                            count=n,
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": doc_id,
+                            "url": pdf["url"],
+                            "warc_ts": pdf["warc_ts"],
+                            "lang": pdf["lang"],
+                            "tokens": tokens,
+                        }
+                    )
+
+    return units.mapInPandas(feed, DOCS_SCHEMA)
 
 
 def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
@@ -724,7 +833,7 @@ def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | Non
 
 def build_index(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | str,
     warehouse: str | Warehouse,
     *,
     n_buckets: int = 8,
@@ -756,6 +865,11 @@ def build_index(
     pages must carry (url, warc_ts, html, text, lang) and optionally
     doc_id; without doc_id a stable xxhash64(url) id is assigned
     (deterministic under resume and cluster size — SURVEY.md §2.8).
+    pages may also be a local parquet DIRECTORY path: same semantics
+    (byte-identical docs table, test-pinned), but the extract stage then
+    direct-reads the splits python-side so the fat html/text columns
+    never cross the JVM->Python Arrow socket (falls back to
+    spark.read.parquet + the Arrow-UDF plan for Iceberg/scheme'd paths).
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     fsio.mkdirs(wh.root)
@@ -817,18 +931,27 @@ def build_index(
     # projection (observe aggregates run over the produced rows).
     if stage_runs("extract"):
         t0 = time.time()
-        has_doc_id = "doc_id" in pages.columns
-        base = pages.withColumn(
-            "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
-        )
-        # A few giant input files would serialize the extraction UDF; make
-        # sure the scan fans out to every core (at cluster scale the input
-        # is already thousands of files and this is a no-op).
-        target = spark.sparkContext.defaultParallelism * 2
-        if base.rdd.getNumPartitions() < target:
-            base = base.repartition(target)
-        text = extracted_text_col() if from_html else F.col("text")
-        dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+        # Parquet-PATH fast path: when the caller hands a directory
+        # instead of a DataFrame (the opt-in that guarantees the input is
+        # a bare scan with no caller transformations to honor), python
+        # tasks read the pages splits directly and run extract+tokenize
+        # in one pandas pass — the fat html/text columns never transit
+        # the JVM->Python Arrow socket (see _extract_direct_scan).
+        dt = _extract_direct_scan(spark, pages, from_html) if isinstance(pages, str) else None
+        if dt is None:
+            pages_df = spark.read.parquet(pages) if isinstance(pages, str) else pages
+            has_doc_id = "doc_id" in pages_df.columns
+            base = pages_df.withColumn(
+                "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
+            )
+            # A few giant input files would serialize the extraction UDF;
+            # make sure the scan fans out to every core (at cluster scale
+            # the input is already thousands of files and this is a no-op).
+            target = spark.sparkContext.defaultParallelism * 2
+            if base.rdd.getNumPartitions() < target:
+                base = base.repartition(target)
+            text = extracted_text_col() if from_html else F.col("text")
+            dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
         dt, obs = _observed(dt, "extract", F.sum(F.size("tokens")).alias("total_tokens"))
         catalog.write_table(spark, dt, wh.root, "docs")
         # corpus stats fall out of the same observation — no extra job

@@ -765,3 +765,46 @@ def test_flat_direct_scan_equals_socket_feed(spark, tmp_path):
 
     a, b = postings_map(direct), postings_map(socket_fed)
     assert a == b and len(a) > 100
+
+
+def test_build_from_path_equals_build_from_dataframe(spark, tmp_path):
+    """build_index(spark, <parquet dir>) takes the python direct-read
+    extract feed (html/text never cross the Arrow socket); the docs
+    table it writes must be IDENTICAL — doc_id, url, warc_ts, lang and
+    the full token stream — to the JVM Arrow-UDF plan's, including the
+    null-html -> text fallthrough and the hashed-doc_id assignment."""
+    from lsearch_spark.build import _extract_direct_scan
+
+    pages = pages_df(spark, 90).withColumn(
+        "html", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("html"))
+    )
+    src = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(src)
+    assert _extract_direct_scan(spark, src, True) is not None
+
+    cols = ["doc_id", "url", "warc_ts", "lang", "tokens"]
+
+    def docs_of(wh):
+        return sorted(
+            spark.read.parquet(wh.path("docs")).select(*cols).collect(),
+            key=lambda r: r["doc_id"],
+        )
+
+    kw = dict(n_buckets=2, block_size=32, hot_df=64, n_salts=2, resume=False)
+    a = docs_of(build_index(spark, spark.read.parquet(src), str(tmp_path / "w1"), input_id="p", **kw))
+    b = docs_of(build_index(spark, src, str(tmp_path / "w2"), input_id="p", **kw))
+    assert a == b and len(a) == 96
+
+    # no doc_id column -> both paths must assign the same xxhash64(url)
+    src2 = str(tmp_path / "pages_noid")
+    spark.read.parquet(src).drop("doc_id").write.parquet(src2)
+    c = docs_of(build_index(spark, spark.read.parquet(src2), str(tmp_path / "w3"), input_id="q", **kw))
+    d = docs_of(build_index(spark, src2, str(tmp_path / "w4"), input_id="q", **kw))
+    assert c == d and len({r["doc_id"] for r in c}) == 96
+
+    # from_html=False: tokens come from the text column on both paths
+    e = docs_of(build_index(spark, spark.read.parquet(src), str(tmp_path / "w5"),
+                            input_id="r", from_html=False, **kw))
+    f = docs_of(build_index(spark, src, str(tmp_path / "w6"),
+                            input_id="r", from_html=False, **kw))
+    assert e == f and len(e) == 96
