@@ -807,6 +807,32 @@ def _extract_direct_scan(spark: SparkSession, pages_dir: str, from_html: bool) -
     return units.mapInPandas(feed, DOCS_SCHEMA)
 
 
+def _extracted_docs(spark: SparkSession, pages: DataFrame | str, from_html: bool) -> DataFrame:
+    """The docs projection (doc_id, url, warc_ts, lang, tokens) from a
+    pages input. A bare parquet DIRECTORY takes the python direct-read
+    feed (fat html/text columns never transit the Arrow socket); a
+    DataFrame — or a path the feed can't serve — takes the JVM
+    Arrow-UDF plan. Byte-identical either way (test-pinned:
+    test_build_from_path_equals_build_from_dataframe)."""
+    if isinstance(pages, str):
+        dt = _extract_direct_scan(spark, pages, from_html)
+        if dt is not None:
+            return dt
+        pages = spark.read.parquet(pages)
+    has_doc_id = "doc_id" in pages.columns
+    base = pages.withColumn(
+        "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
+    )
+    # A few giant input files would serialize the extraction UDF; make
+    # sure the scan fans out to every core (at cluster scale the input
+    # is already thousands of files and this is a no-op).
+    target = spark.sparkContext.defaultParallelism * 2
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    text = extracted_text_col() if from_html else F.col("text")
+    return base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+
+
 def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
     """Partition count for the (term, salt) merge shuffle.
 
@@ -931,27 +957,7 @@ def build_index(
     # projection (observe aggregates run over the produced rows).
     if stage_runs("extract"):
         t0 = time.time()
-        # Parquet-PATH fast path: when the caller hands a directory
-        # instead of a DataFrame (the opt-in that guarantees the input is
-        # a bare scan with no caller transformations to honor), python
-        # tasks read the pages splits directly and run extract+tokenize
-        # in one pandas pass — the fat html/text columns never transit
-        # the JVM->Python Arrow socket (see _extract_direct_scan).
-        dt = _extract_direct_scan(spark, pages, from_html) if isinstance(pages, str) else None
-        if dt is None:
-            pages_df = spark.read.parquet(pages) if isinstance(pages, str) else pages
-            has_doc_id = "doc_id" in pages_df.columns
-            base = pages_df.withColumn(
-                "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
-            )
-            # A few giant input files would serialize the extraction UDF;
-            # make sure the scan fans out to every core (at cluster scale
-            # the input is already thousands of files and this is a no-op).
-            target = spark.sparkContext.defaultParallelism * 2
-            if base.rdd.getNumPartitions() < target:
-                base = base.repartition(target)
-            text = extracted_text_col() if from_html else F.col("text")
-            dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+        dt = _extracted_docs(spark, pages, from_html)
         dt, obs = _observed(dt, "extract", F.sum(F.size("tokens")).alias("total_tokens"))
         catalog.write_table(spark, dt, wh.root, "docs")
         # corpus stats fall out of the same observation — no extra job
@@ -1224,7 +1230,7 @@ def build_index(
 
 def append_index(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | str,
     warehouse: str | Warehouse,
     *,
     run_id: str = "append",
@@ -1295,15 +1301,8 @@ def append_index(
         return os.path.join(seg, name)
 
     # ---- stage: segment docs (extract+tokenize the new pages once) ----
-    has_doc_id = "doc_id" in pages.columns
-    base = pages.withColumn(
-        "doc_id", F.col("doc_id").cast("long") if has_doc_id else F.xxhash64(F.col("url"))
-    )
-    target = spark.sparkContext.defaultParallelism * 2
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target)
-    text = extracted_text_col() if from_html else F.col("text")
-    dt = base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+    # pages may be a parquet dir: same direct-read feed as build_index
+    dt = _extracted_docs(spark, pages, from_html)
     dt, obs = _observed(dt, f"append{append_no}", F.sum(F.size("tokens")).alias("total_tokens"))
     dt.write.mode("overwrite").parquet(segp("docs"))
     n_new, tok_new = int(obs.get["n_rows"]), int(obs.get["total_tokens"] or 0)

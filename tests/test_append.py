@@ -244,3 +244,36 @@ def test_compact_index_matches_appended(spark, awh, union_pyidx):
         a = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, awh, q, k=10).collect()]
         b = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, dst, q, k=10).collect()]
         assert a == b, q
+
+
+def test_append_from_path_equals_append_from_dataframe(spark, tmp_path):
+    """append_index(spark, <parquet dir>) must commit a segment identical
+    to the DataFrame call's: same segment docs (full token stream) and
+    identical post-append search results."""
+
+    def fresh_base(name):
+        root = str(tmp_path / name)
+        return build_index(
+            spark, pages_df(spark, 60), root,
+            n_buckets=2, block_size=32, hot_df=64, n_salts=2, input_id="b60",
+        )
+
+    src = str(tmp_path / "pages_b")
+    _pages_b(spark).write.parquet(src)
+    wh_df = append_index(spark, spark.read.parquet(src), fresh_base("w_df"), from_html=False)
+    wh_path = append_index(spark, src, fresh_base("w_path"), from_html=False)
+
+    cols = ["doc_id", "url", "warc_ts", "lang", "tokens"]
+
+    def seg_docs(wh):
+        return sorted(
+            spark.read.parquet(wh.path("_segments/seg1/docs")).select(*cols).collect(),
+            key=lambda r: r["doc_id"],
+        )
+
+    a, b = seg_docs(wh_df), seg_docs(wh_path)
+    assert a == b and len(a) == N_B + 6
+    for q in ["biology quantum flux", "the -biology"]:
+        ra = [tuple(r) for r in search(spark, wh_df, q, k=10).collect()]
+        rb = [tuple(r) for r in search(spark, wh_path, q, k=10).collect()]
+        assert ra == rb and ra
