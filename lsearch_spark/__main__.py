@@ -79,9 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .build import build_index
 
-        pages = spark.read.parquet(args.input)
+        # pass the PATH through: the extract stage direct-reads the
+        # splits python-side when the input is a bare parquet dir
         build_index(
-            spark, pages, args.warehouse,
+            spark, args.input, args.warehouse,
             n_buckets=args.buckets, block_size=args.block_size, hot_df=args.hot_df,
             n_salts=args.salts, run_id=args.run_id,
             input_id=args.input_id or args.input, resume=not args.no_resume,
@@ -124,8 +125,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "append":
         from .build import append_index
 
-        pages = spark.read.parquet(args.input)
-        append_index(spark, pages, args.warehouse)
+        append_index(spark, args.input, args.warehouse)
         print(f"segment appended to {args.warehouse}")
     elif args.cmd == "compact":
         from .build import compact_index
