@@ -113,6 +113,19 @@ def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str = "or", prune:
     return out.select("doc_id", F.round("score", 5).alias("score"))
 
 
+def _bm25_highlights(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Top-10 + per-term match offsets (query.search_highlights), the
+    positions array exploded to one scalar row per occurrence."""
+    from lsearch_spark.query import search_highlights
+
+    wh = _documents_wh(spark, sf_dir)
+    out = search_highlights(spark, wh, query, k=10)
+    return out.select(
+        "doc_id", F.round("score", 5).alias("score"), "term",
+        F.explode("positions").alias("pos"),
+    )
+
+
 def _streamed_wh(spark: SparkSession, sf_dir: str) -> str:
     """Streaming-ingested twin of _documents_wh: build a base index over
     the even-doc_id half, then ingest the odd half through Structured
@@ -184,6 +197,24 @@ def _bm25_sql(terms: list[str], mode: str = "or") -> str:
     and_clause = f"WHERE nt = {len(terms)}" if mode == "and" else ""
     tlist = ", ".join(f"'{t}'" for t in terms)
     return _BM25_SQL.format(toks=_toks_sql("text"), terms=tlist, and_clause=and_clause)
+
+
+def _bm25_highlights_sql(terms: list[str]) -> str:
+    """Top-10 docs (same BM25 CTE) joined with every (term, 0-based
+    token offset) pair of the query terms in those docs."""
+    toks = _toks_sql("text")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH top AS (SELECT * FROM ({_BM25_SQL.format(toks=toks, terms=tlist, and_clause="")})),
+posns AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS pos
+  FROM documents
+)
+SELECT t.doc_id, t.score, p.term, p.pos
+FROM top t JOIN posns p USING (doc_id)
+WHERE p.term IN ({tlist})
+"""
 
 
 def _bm25_less_sql(pos: str, less: str) -> str:
@@ -308,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # range-semi-join plan (O(df_rare) work at any corpus size)
     q["bm25_and_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and", prune=True)
     q["bm25_and_selective_top10"] = lambda s, d: _bm25(s, d, "dup batch", mode="and", prune=True)
+    # highlight pass: top-k + per-term token offsets from the positional
+    # index (exploded to scalar rows — the driver canonicalizer can't
+    # sort array cells, same lesson as media_frame_sample)
+    q["bm25_highlights_top10"] = lambda s, d: _bm25_highlights(s, d, "data query")
     q["bm25_negation_top10"] = lambda s, d: _bm25(s, d, "data -query")
     # negation through the verify-and-fallback pruned path (exactness is
     # a-posteriori verified in search(); same SQL oracle as exhaustive)
@@ -962,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_top10": _bm25_sql(["data", "query"], mode="and"),
         "bm25_and_pruned_top10": _bm25_sql(["data", "query"], mode="and"),
         "bm25_and_selective_top10": _bm25_sql(["dup", "batch"], mode="and"),
+        "bm25_highlights_top10": _bm25_highlights_sql(["data", "query"]),
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_compacted_top10": _bm25_sql(["data", "query"]),
         "bm25_streamed_top10": _bm25_sql(["data", "query"]),

@@ -1881,3 +1881,54 @@ def phrase_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+HIGHLIGHT_SCHEMA = "doc_id long, score double, term string, positions array<int>"
+
+
+def search_highlights(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    prune: bool = True,
+) -> DataFrame:
+    """BM25 top-k with per-term MATCH POSITIONS — the 'where did it hit'
+    half of the reference's output (lsearch prints the matching content
+    itself, score listing + content path; here the positional index
+    answers it without re-reading any document). Returns
+    DataFrame(doc_id, score, term, positions array<int>): one row per
+    (top-k doc, live query term occurring in it), positions being the
+    0-based token offsets of that term in the doc's token stream,
+    ordered (score DESC, doc_id ASC, term ASC).
+
+    Scale shape: the ranking itself is search() (whatever plan the
+    planner picks); the highlight pass adds O(k) driver rows plus a
+    positional decode bounded by the blocks whose [min_doc_id,
+    max_doc_id] range holds a top-k doc — a broadcast range semi-join
+    on block METADATA (k rows broadcast), so ~k blocks per term are
+    position-decoded at ANY corpus size; no full posting list is ever
+    re-read for highlighting.
+    """
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    empty = spark.createDataFrame([], HIGHLIGHT_SCHEMA)
+    top = search(spark, wh, query, k=k, mode=mode, prune=prune).collect()  # O(k)
+    if not top:
+        return empty
+    pos_terms, _neg, _less = parse_query(query)
+    dfs = _term_dfs(spark, st, wh, pos_terms)
+    live = [t for t in pos_terms if t in dfs]
+    scores = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in top], "doc_id long, score double"
+    )
+    blocks = _range_semi_join(
+        _postings_for(spark, wh, st, live), scores.select("doc_id")
+    )
+    full = _decode_blocks_with_positions(blocks)
+    return (
+        full.join(F.broadcast(scores), "doc_id")  # also filters to top-k
+        .select("doc_id", "score", "term", "positions")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )

@@ -808,3 +808,35 @@ def test_build_from_path_equals_build_from_dataframe(spark, tmp_path):
     f = docs_of(build_index(spark, src, str(tmp_path / "w6"),
                             input_id="r", from_html=False, **kw))
     assert e == f and len(e) == 96
+
+
+def test_search_highlights_matches_oracle(spark, wh, pyidx):
+    """search_highlights returns the exact 0-based token offsets of every
+    live query term in each top-k doc (python positional oracle), with
+    scores/ranking identical to search()."""
+    from lsearch_spark.query import search_highlights
+
+    for q in ["biology", "quantum flux", "the -biology", "BIOLOGY chemistry"]:
+        want_top = bm25_topk(pyidx, q, k=10)
+        rows = search_highlights(spark, wh, q, k=10).collect()
+        # ranking: distinct docs in emitted order == oracle order by (score desc, id)
+        seen = list(dict.fromkeys(r["doc_id"] for r in rows))
+        want_order = [d for d, _ in want_top]
+        # docs with NO live-term occurrence can't appear; all others must
+        assert seen == [d for d in want_order if any(
+            d in pyidx.positions.get(t, {}) for t in q.lower().split() if not t.startswith("-")
+        )]
+        want_score = dict(want_top)
+        for r in rows:
+            t, d = r["term"], r["doc_id"]
+            assert math.isclose(r["score"], want_score[d], rel_tol=1e-9)
+            assert list(r["positions"]) == pyidx.positions[t][d], (t, d)
+        # every (top doc, live term) pair present exactly once
+        pairs = [(r["doc_id"], r["term"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
+
+def test_search_highlights_empty(spark, wh):
+    from lsearch_spark.query import search_highlights
+
+    assert search_highlights(spark, wh, "zzzzabsent", k=5).count() == 0
