@@ -113,6 +113,12 @@ def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str = "or", prune:
     return out.select("doc_id", F.round("score", 5).alias("score"))
 
 
+def _bm25_within(spark: SparkSession, sf_dir: str, query: str, predicate: str) -> DataFrame:
+    wh = _documents_wh(spark, sf_dir)
+    out = search(spark, wh, query, k=10, prune=True, within=predicate)
+    return out.select("doc_id", F.round("score", 5).alias("score"))
+
+
 def _bm25_highlights(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Top-10 + per-term match offsets (query.search_highlights), the
     positions array exploded to one scalar row per occurrence."""
@@ -197,6 +203,14 @@ def _bm25_sql(terms: list[str], mode: str = "or") -> str:
     and_clause = f"WHERE nt = {len(terms)}" if mode == "and" else ""
     tlist = ", ".join(f"'{t}'" for t in terms)
     return _BM25_SQL.format(toks=_toks_sql("text"), terms=tlist, and_clause=and_clause)
+
+
+def _bm25_within_sql(terms: list[str], predicate: str) -> str:
+    """Corpus-global BM25, candidates filtered AFTER scoring — the
+    within semantics (idf/avgdl never re-derived on the slice)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    clause = f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {predicate})"
+    return _BM25_SQL.format(toks=_toks_sql("text"), terms=tlist, and_clause=clause)
 
 
 def _bm25_highlights_sql(terms: list[str]) -> str:
@@ -339,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # range-semi-join plan (O(df_rare) work at any corpus size)
     q["bm25_and_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and", prune=True)
     q["bm25_and_selective_top10"] = lambda s, d: _bm25(s, d, "dup batch", mode="and", prune=True)
+    # metadata-filtered search: candidates restricted to lang='en' docs
+    # (LEFT SEMI docset, deeper-tau pruning + a-posteriori verify);
+    # ranking stats stay corpus-global — the oracle filters AFTER scoring
+    q["bm25_within_top10"] = lambda s, d: _bm25_within(s, d, "data query", "lang = 'en'")
     # highlight pass: top-k + per-term token offsets from the positional
     # index (exploded to scalar rows — the driver canonicalizer can't
     # sort array cells, same lesson as media_frame_sample)
@@ -998,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_pruned_top10": _bm25_sql(["data", "query"], mode="and"),
         "bm25_and_selective_top10": _bm25_sql(["dup", "batch"], mode="and"),
         "bm25_highlights_top10": _bm25_highlights_sql(["data", "query"]),
+        "bm25_within_top10": _bm25_within_sql(["data", "query"], "lang = 'en'"),
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_compacted_top10": _bm25_sql(["data", "query"]),
         "bm25_streamed_top10": _bm25_sql(["data", "query"]),

@@ -506,11 +506,21 @@ def _range_semi_join(blocks: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def _agg_topk(partials: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame | None, k: int) -> DataFrame:
+def _agg_topk(
+    partials: DataFrame,
+    n_terms: int,
+    mode: str,
+    neg_docs: DataFrame | None,
+    k: int,
+    within_docs: DataFrame | None = None,
+) -> DataFrame:
     """Final aggregation over (doc_id, score, hits) partials. hits sums
     to the number of distinct query terms a doc matched (each (term,
     doc) posting exists exactly once index-wide), so AND filtering works
-    on partials exactly as it did on per-posting rows."""
+    on partials exactly as it did on per-posting rows. within_docs (the
+    metadata-filter docset) restricts candidates by LEFT SEMI — the
+    mirror of the neg anti-join; AQE broadcasts a small docset and falls
+    back to a shuffle join at scale."""
     agg = partials.groupBy("doc_id").agg(
         F.sum("score").alias("score"), F.sum("hits").alias("n_terms_hit")
     )
@@ -518,6 +528,8 @@ def _agg_topk(partials: DataFrame, n_terms: int, mode: str, neg_docs: DataFrame 
         agg = agg.filter(F.col("n_terms_hit") == n_terms)
     if neg_docs is not None:
         agg = agg.join(neg_docs, "doc_id", "left_anti")
+    if within_docs is not None:
+        agg = agg.join(within_docs, "doc_id", "left_semi")
     # TakeOrderedAndProject: per-partition heap + driver merge, no global sort
     return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -871,10 +883,26 @@ def search(
     prune: bool = True,
     with_url: bool = False,
     probe: bool | str = "auto",
+    within: DataFrame | str | None = None,
     _stats: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k. Returns DataFrame(doc_id, score[, url]) already ordered
     (score DESC, doc_id ASC) and limited to k.
+
+    within restricts CANDIDATES to a metadata-filtered docset while
+    ranking stats (idf, avgdl) stay corpus-global: a SQL predicate
+    string over the docs table's metadata columns ("lang = 'en'",
+    "warc_ts >= '2024-01-01'") — pushed down into the docs parquet
+    scan — or a pre-built DataFrame with a doc_id column (materialize
+    one once for repeated queries over the same slice). Applied as a
+    LEFT SEMI on the aggregated candidates (the exact mirror of
+    '-term' exclusion's anti-join). Pruning still works: the filter's
+    selectivity deepens tau exactly like a '-term''s df does, and the
+    same a-posteriori verification (k-th surviving score >= tau, else
+    exhaustive rerun) keeps results exact at any correlation between
+    the filter and the query terms. within+'~less' and the conjunctive
+    probe-tau plan degrade to the (still exact, single-job) exhaustive
+    scan; the candidate-driven AND plan composes as-is.
 
     prune=True (the DEFAULT) enables driver-side block-max WAND (module
     docstring); results are exact. The cost-based planner picks between
@@ -923,6 +951,21 @@ def search(
         return empty
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
+    within_docs = None
+    if within is not None:
+        if isinstance(within, str):
+            # predicate over docs METADATA: pushed down into the parquet
+            # scan (only doc_id + referenced columns are read)
+            within_docs = (
+                catalog.read_table(spark, wh.root, "docs")
+                .filter(F.expr(within))
+                .select("doc_id")
+            )
+        else:
+            within_docs = within.select("doc_id")
+        if _stats is not None:
+            _stats["within"] = within if isinstance(within, str) else "<docset>"
+
     blocks = _postings_for(spark, wh, st, live)
     # '-term' exclusion, three plans by shape (all driver-decided from
     # term_stats): small exclusion -> docset fast path (driver-decoded
@@ -954,7 +997,11 @@ def search(
 
     tau = float("-inf")
     pruned = False
-    if prune and (mode == "or" or len(live) == 1) and not (neg and live_less):
+    if (
+        prune
+        and (mode == "or" or len(live) == 1)
+        and not ((neg or within_docs is not None) and live_less)
+    ):
         # (single-term AND == OR, so it shares this branch; multi-term
         # AND gets its own two plans below.) Negation prunes with a
         # df-aware deeper tau and an A-POSTERIORI verification (below):
@@ -966,6 +1013,18 @@ def search(
         bstats = _term_block_stats(spark, st, wh, live)
         ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
         k_eff = k
+        keep_frac = 1.0  # P(a tau witness survives exclusion + docset)
+        if within_docs is not None:
+            # the docset knocks out witnesses exactly like exclusion
+            # does; its selectivity is EXACT (one narrow count job on
+            # the pushed-down scan), so the same deeper-tau formula
+            # applies with survival |S|/n. Correctness never depends
+            # on this estimate — the a-posteriori verification below
+            # covers any filter/term correlation.
+            n_within = within_docs.count()
+            if n_within == 0:
+                return empty
+            keep_frac = min(1.0, n_within / max(n_docs, 1))
         if neg:
             # excluded docs can knock out up to sum(df_neg)/n of tau's
             # witnesses; ask for proportionally deeper top_wands so ~k
@@ -981,7 +1040,11 @@ def search(
             # K_TOP-only era) made "-<99%-df term>" ask for a tau 5x too
             # shallow and pay a guaranteed verify-fallback double scan.
             neg_rate = min(1.0 - 1e-9, sum(dfs.get(t) or 0 for t in neg) / max(n_docs, 1))
-            k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / (1.0 - neg_rate))
+            keep_frac *= 1.0 - neg_rate  # independence heuristic only —
+            # k_eff tunes the FALLBACK RATE, never correctness
+        if keep_frac < 1.0:
+            keep_frac = max(keep_frac, 1e-9)
+            k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep_frac)
         thetas, tau = _wand_thetas(live, idf_map, bstats, k_eff, ratio, int(st["cfg"].get("block_size") or 128))
         if thetas is not None and live_less:
             # '~less' correction: tau_base lower-bounds the k-th best
@@ -1094,7 +1157,12 @@ def search(
             probe_worth = probe is True or (
                 probe == "auto" and est_postings >= _PROBE_MIN_POSTINGS
             )
-            if all(t in bstats for t in live) and probe_worth:
+            # within disables ONLY this plan: its tau is a-priori valid
+            # for the UNFILTERED conjunctive k-th best, and this path
+            # has no verification step to cover a filtered one (the
+            # candidate-driven plan above composes — it enumerates every
+            # conjunctive match with exact scores before the semi-join)
+            if all(t in bstats for t in live) and probe_worth and within_docs is None:
                 tau = _probe_tau_and(spark, st, wh, live, idf_map, avgdl, k)
                 if tau > float("-inf"):
                     ub_corr = max(1.0, ratio)
@@ -1138,14 +1206,16 @@ def search(
             agg = agg.filter(F.col("n_terms_hit") == len(live))
         if neg_docs is not None:
             agg = agg.join(neg_docs, "doc_id", "left_anti")
+        if within_docs is not None:
+            agg = agg.join(within_docs, "doc_id", "left_semi")
         agg = agg.join(penalties, "doc_id", "left").withColumn(
             "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
         )
         topk = agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     else:
-        topk = _agg_topk(partials, len(live), mode, neg_docs, k)
+        topk = _agg_topk(partials, len(live), mode, neg_docs, k, within_docs)
 
-    if pruned and neg:
+    if pruned and (neg or within_docs is not None) and tau > float("-inf"):
         # A-POSTERIORI VERIFICATION (exactness proof for pruned negation):
         # every kept doc with score >= tau has ALL its blocks kept (the
         # block filter keeps any block whose bound reaches tau), so its
@@ -1179,7 +1249,8 @@ def search(
                 )
                 _stats["_obs"] = obs
             topk = _agg_topk(
-                _decode_score_partials(blocks, idf_map, avgdl, excl_bc), len(live), mode, neg_docs, k
+                _decode_score_partials(blocks, idf_map, avgdl, excl_bc),
+                len(live), mode, neg_docs, k, within_docs,
             )
 
     if with_url:
@@ -1520,6 +1591,7 @@ def search_with_stats(
     mode: str = "or",
     prune: bool = True,
     probe: bool | str = "auto",
+    within: DataFrame | str | None = None,
 ) -> tuple[list, dict]:
     """Run a search eagerly and record per-query metrics — the analog of
     the reference's --stats surface (cli.rs:14-56 per-op stats, dump at
@@ -1531,7 +1603,9 @@ def search_with_stats(
     st = _wh_state(spark, wh)
     info: dict = {}
     t0 = time.time()
-    rows = search(spark, wh, query, k=k, mode=mode, prune=prune, probe=probe, _stats=info).collect()
+    rows = search(
+        spark, wh, query, k=k, mode=mode, prune=prune, probe=probe, within=within, _stats=info
+    ).collect()
     info["wall_ms"] = (time.time() - t0) * 1000.0
     obs = info.pop("_obs", None)
     empty = len(rows) == 0

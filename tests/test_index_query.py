@@ -840,3 +840,58 @@ def test_search_highlights_empty(spark, wh):
     from lsearch_spark.query import search_highlights
 
     assert search_highlights(spark, wh, "zzzzabsent", k=5).count() == 0
+
+
+def test_search_within_matches_oracle(spark, wh, pyidx):
+    """within=<predicate> restricts CANDIDATES while idf/avgdl stay
+    corpus-global: oracle = full-corpus BM25 ranking filtered to the
+    predicate's docs, first k. Pruned must equal exhaustive (the
+    deeper-tau + a-posteriori verification path), the DataFrame-docset
+    form must equal the predicate form, and AND composes through the
+    candidate-driven plan."""
+    from lsearch_spark.corpus import make_pages
+
+    pdf = make_pages(N_DOCS)
+    en = set(int(d) for d in pdf.loc[pdf["lang"] == "en", "doc_id"])
+
+    def want(q, k=10, mode="or"):
+        full = bm25_topk(pyidx, q, k=len(pyidx.doc_len) + 1, mode=mode)
+        return [(d, s) for d, s in full if d in en][:k]
+
+    for q in ["the", "biology chemistry", "physics -the"]:
+        for prune in (True, False):
+            got = search(spark, wh, q, k=10, prune=prune, within="lang = 'en'").collect()
+            assert_rank_identical(got, want(q)), (q, prune)
+
+    docset = spark.createDataFrame([(d,) for d in sorted(en)], "doc_id long")
+    a = [tuple(r) for r in search(spark, wh, "the", k=10, within=docset).collect()]
+    b = [tuple(r) for r in search(spark, wh, "the", k=10, within="lang = 'en'").collect()]
+    assert a == b and len(a) == 10
+
+    got = search(spark, wh, "biology chemistry", k=10, mode="and", within="lang = 'en'").collect()
+    assert_rank_identical(got, want("biology chemistry", mode="and"))
+
+    assert search(spark, wh, "the", k=5, within="lang = 'nolang'").count() == 0
+
+
+def test_search_within_prunes_and_verifies(spark, wh):
+    """The pruned within path must actually take the routed plan and
+    record a verified (or fallback) outcome — never silently exhaustive
+    when stats exist, never unverified when tau formed."""
+    from lsearch_spark.query import search_with_stats
+
+    rows, info = search_with_stats(spark, wh, "the", k=10, prune=True, within="lang = 'en'")
+    assert info["within"] == "lang = 'en'"
+    assert len(rows) == 10
+    if info.get("plan", "").startswith("routed"):
+        assert info.get("prune_verified") or info.get("prune_fallback")
+    # probe=True forces the ROUTED plan regardless of the cost gate, so
+    # the verification branch runs deterministically — and its output
+    # must still equal the exhaustive scan's
+    rows_f, info_f = search_with_stats(
+        spark, wh, "the", k=10, prune=True, probe=True, within="lang = 'en'"
+    )
+    assert info_f["plan"].startswith("routed")
+    assert info_f.get("prune_verified") or info_f.get("prune_fallback")
+    ex = search(spark, wh, "the", k=10, prune=False, within="lang = 'en'").collect()
+    assert [tuple(r) for r in rows_f] == [tuple(r) for r in ex]
