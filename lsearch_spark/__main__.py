@@ -45,6 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-prune", dest="prune", action="store_false",
                    help="disable driver-side block-max WAND (on by default; always exact)")
     s.add_argument("--urls", action="store_true")
+    s.add_argument("--within", default=None, metavar="PREDICATE",
+                   help="metadata filter over docs columns, e.g. \"lang = 'en'\"")
     s.add_argument("--stats", action="store_true", help="per-query stats (reference --stats, cli.rs:510-512)")
     s.add_argument("--strats", action="store_true", help="print the plan summary (reference --strats, cli.rs:439-441)")
 
@@ -95,7 +97,8 @@ def main(argv: list[str] | None = None) -> int:
             print(plan_summary(spark, args.warehouse, args.query, k=args.k, mode=args.mode, prune=args.prune))
         if args.stats:
             rows, info = search_with_stats(
-                spark, args.warehouse, args.query, k=args.k, mode=args.mode, prune=args.prune
+                spark, args.warehouse, args.query, k=args.k, mode=args.mode,
+                prune=args.prune, within=args.within,
             )
             for r in rows:
                 print(f"[{r['score']:.4f}] {r['doc_id']}")
@@ -105,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             out = search(spark, args.warehouse, args.query, k=args.k, mode=args.mode,
-                         prune=args.prune, with_url=args.urls)
+                         prune=args.prune, with_url=args.urls, within=args.within)
             for r in out.collect():
                 cols = f"[{r['score']:.4f}] {r['doc_id']}"
                 print(cols + (f" {r['url']}" if args.urls else ""))

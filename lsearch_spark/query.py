@@ -1270,9 +1270,17 @@ def batch_search(
     k: int = 10,
     mode: str = "or",
     prune: bool = True,
+    within: DataFrame | str | None = None,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Amortized multi-query BM25: ONE Spark job scores EVERY query.
+
+    within applies ONE batch-global metadata docset (predicate string
+    over docs metadata or a doc_id DataFrame, see search()) to every
+    query: LEFT SEMI before the per-query top-k window. A within batch
+    runs UNPRUNED (each query's tau bounds the unfiltered k-th best —
+    too high for a filtered candidate set — and search()'s a-posteriori
+    verification has no batched analog); still one job, still exact.
 
     Interactive `search` latency is dominated by the per-job scheduler
     floor (~0.3s locally); evaluation pipelines that run thousands of
@@ -1349,9 +1357,20 @@ def batch_search(
         return empty
     qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
 
+    within_docs = None
+    if within is not None:
+        if isinstance(within, str):
+            within_docs = (
+                catalog.read_table(spark, wh.root, "docs")
+                .filter(F.expr(within))
+                .select("doc_id")
+            )
+        else:
+            within_docs = within.select("doc_id")
+
     blocks = _postings_for(spark, wh, st, live)
     plan, blocks_total = "exhaustive", None
-    if prune and mode == "or":
+    if prune and mode == "or" and within_docs is None:
         bstats = _term_block_stats(spark, st, wh, live)
         if all(t in bstats for t in live):
             ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
@@ -1481,6 +1500,8 @@ def batch_search(
             agg = agg.join(excl, ["query_id", "doc_id"], "left_anti")
             if _stats is not None:
                 _stats["neg_plan"] = "anti-join"
+    if within_docs is not None:
+        agg = agg.join(within_docs, "doc_id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rn", F.row_number().over(w))
@@ -1967,6 +1988,7 @@ def search_highlights(
     k: int = 10,
     mode: str = "or",
     prune: bool = True,
+    within: DataFrame | str | None = None,
 ) -> DataFrame:
     """BM25 top-k with per-term MATCH POSITIONS — the 'where did it hit'
     half of the reference's output (lsearch prints the matching content
@@ -1988,7 +2010,7 @@ def search_highlights(
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
     empty = spark.createDataFrame([], HIGHLIGHT_SCHEMA)
-    top = search(spark, wh, query, k=k, mode=mode, prune=prune).collect()  # O(k)
+    top = search(spark, wh, query, k=k, mode=mode, prune=prune, within=within).collect()  # O(k)
     if not top:
         return empty
     pos_terms, _neg, _less = parse_query(query)

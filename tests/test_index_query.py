@@ -895,3 +895,22 @@ def test_search_within_prunes_and_verifies(spark, wh):
     assert info_f.get("prune_verified") or info_f.get("prune_fallback")
     ex = search(spark, wh, "the", k=10, prune=False, within="lang = 'en'").collect()
     assert [tuple(r) for r in rows_f] == [tuple(r) for r in ex]
+
+
+def test_batch_search_within_matches_single(spark, wh):
+    """A batch-global within docset must give, per query, exactly what
+    search() gives with the same within (batch runs the filter unpruned;
+    search may prune+verify — results must agree regardless)."""
+    from lsearch_spark.query import batch_search
+
+    qs = {"a": "biology", "b": "the chemistry", "c": "physics -the"}
+    out = batch_search(spark, wh, qs, k=5, within="lang = 'en'").collect()
+    by_q: dict[str, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid, q in qs.items():
+        single = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(spark, wh, q, k=5, within="lang = 'en'").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
