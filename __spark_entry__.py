@@ -8,8 +8,10 @@ block search + driver-side WAND with impact-ordered routing, probe-
 refined tau, and verified pruned negation; also batched (full
 operator parity: '-term' and '~less' in one shared job) and
 incremental-append variants — plus a Structured-Streaming-ingested
-index whose final state shares the batch SQL oracle) and are checked
-against a full BM25 reimplementation in ANSI SQL — ALL 47 entries are
+index whose final state shares the batch SQL oracle, pruned
+conjunctions, metadata-filtered `within` search, per-term match
+highlights, and vocabulary prefix completion) and are checked
+against a full BM25 reimplementation in ANSI SQL — ALL 52 entries are
 oracle-checked, zero rows-only: pure-Python twins (the JVM-parity
 XXH64, a left-fold float64 replay, the numpy Lloyd replay, and the
 Spark-free fake-media generator) feed DuckDB the expected rows as
@@ -111,6 +113,12 @@ def _bm25(spark: SparkSession, sf_dir: str, query: str, mode: str = "or", prune:
     wh = _documents_wh(spark, sf_dir)
     out = search(spark, wh, query, k=10, mode=mode, prune=prune)
     return out.select("doc_id", F.round("score", 5).alias("score"))
+
+
+def _suggest(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    from lsearch_spark.query import suggest_terms
+
+    return suggest_terms(spark, _documents_wh(spark, sf_dir), prefix, n=10)
 
 
 def _bm25_within(spark: SparkSession, sf_dir: str, query: str, predicate: str) -> DataFrame:
@@ -353,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # range-semi-join plan (O(df_rare) work at any corpus size)
     q["bm25_and_pruned_top10"] = lambda s, d: _bm25(s, d, "data query", mode="and", prune=True)
     q["bm25_and_selective_top10"] = lambda s, d: _bm25(s, d, "dup batch", mode="and", prune=True)
+    # vocabulary prefix completion over term_stats (no postings touched)
+    q["suggest_terms_s"] = lambda s, d: _suggest(s, d, "s")
     # metadata-filtered search: candidates restricted to lang='en' docs
     # (LEFT SEMI docset, deeper-tau pruning + a-posteriori verify);
     # ranking stats stay corpus-global — the oracle filters AFTER scoring
@@ -1017,6 +1027,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_selective_top10": _bm25_sql(["dup", "batch"], mode="and"),
         "bm25_highlights_top10": _bm25_highlights_sql(["data", "query"]),
         "bm25_within_top10": _bm25_within_sql(["data", "query"], "lang = 'en'"),
+        "suggest_terms_s": f"""
+WITH tf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest({_toks_sql("text")}) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term LIMIT 10
+""",
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_compacted_top10": _bm25_sql(["data", "query"]),
         "bm25_streamed_top10": _bm25_sql(["data", "query"]),

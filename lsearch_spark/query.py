@@ -1839,8 +1839,13 @@ def phrase_search(
     phrase: str,
     k: int = 10,
     scratch_dir: str | None = None,
+    within: DataFrame | str | None = None,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k over the positional index, in two phases:
+
+    within (see search()): candidates are LEFT SEMI-filtered to the
+    metadata docset AFTER the phrase df/idf is computed — ranking stats
+    stay corpus-global, matching search()'s within semantics.
 
     Phase 1 (cheap): the RAREST term's blocks are ids-decoded first (the
     candidate universe is bounded by its df); every OTHER term's block
@@ -1966,6 +1971,18 @@ def phrase_search(
     df_count = matches.count()  # phrase df for idf (cheap: materialized)
     if df_count == 0:
         return empty
+    if within is not None:
+        # AFTER df_count: the phrase idf stays corpus-global (within
+        # filters candidates, never re-derives ranking stats)
+        if isinstance(within, str):
+            wdocs = (
+                catalog.read_table(spark, wh.root, "docs")
+                .filter(F.expr(within))
+                .select("doc_id")
+            )
+        else:
+            wdocs = within.select("doc_id")
+        matches = matches.join(wdocs, "doc_id", "left_semi")
     idf = _idf(n_docs, df_count)
     denom = F.col("phrase_tf") + F.lit(K1) * (
         F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(max(avgdl, 1e-9))
@@ -2027,4 +2044,32 @@ def search_highlights(
         full.join(F.broadcast(scores), "doc_id")  # also filters to top-k
         .select("doc_id", "score", "term", "positions")
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    prefix: str,
+    n: int = 10,
+) -> DataFrame:
+    """Prefix completion over the index vocabulary: the n highest-df
+    terms starting with `prefix` (normalized with the indexing
+    tokenizer). Returns DataFrame(term, df) ordered (df DESC, term ASC).
+
+    Pure Catalyst over the tiny term_stats table — a startswith
+    predicate (pushable to parquet row-group stats since term_stats is
+    written term-sorted per partition) + TakeOrderedAndProject; no
+    postings touched. Empty/no-token prefixes return no rows."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    toks = py_tokenize(prefix)
+    if not toks:
+        return spark.createDataFrame([], "term string, df long")
+    return (
+        st["term_stats_rel"]
+        .filter(F.col("term").startswith(toks[0]))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
     )

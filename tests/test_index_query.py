@@ -914,3 +914,33 @@ def test_batch_search_within_matches_single(spark, wh):
             for r in search(spark, wh, q, k=5, within="lang = 'en'").collect()
         ]
         assert by_q.get(qid, []) == single, qid
+
+
+def test_phrase_search_within(spark, wh, pyidx):
+    """phrase_search(within=...) keeps the corpus-global phrase idf and
+    filters candidates: oracle = full phrase ranking filtered to the
+    docset, first k."""
+    from lsearch_spark.corpus import make_pages
+    from lsearch_spark.oracle import phrase_topk
+    from lsearch_spark.query import phrase_search
+
+    pdf = make_pages(N_DOCS)
+    en = set(int(d) for d in pdf.loc[pdf["lang"] == "en", "doc_id"])
+    full = phrase_topk(pyidx, "quantum flux", k=len(pyidx.doc_len) + 1)
+    want = [(d, s) for d, s, *_ in full if d in en][:10]
+    got = phrase_search(spark, wh, "quantum flux", k=10, within="lang = 'en'").collect()
+    assert_rank_identical(got, want)
+    assert all(r["doc_id"] in en for r in got)
+
+
+def test_suggest_terms_matches_oracle(spark, wh, pyidx):
+    from lsearch_spark.query import suggest_terms
+
+    want = sorted(
+        ((t, len(p)) for t, p in pyidx.postings.items() if t.startswith("qu")),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = [(r["term"], r["df"]) for r in suggest_terms(spark, wh, "Qu", n=5).collect()]
+    assert got == want and got
+    assert suggest_terms(spark, wh, "", n=5).count() == 0
+    assert suggest_terms(spark, wh, "zzzznope", n=5).count() == 0
