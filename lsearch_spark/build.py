@@ -759,7 +759,7 @@ def _extract_direct_scan(spark: SparkSession, pages_dir: str, from_html: bool) -
 
         from .codec import xxhash64 as _xxh
         from .extract import extract_text_series
-        from .tokenize import py_tokenize
+        from .tokenize import arrow_tokenize, py_tokenize
 
         for task_pdf in batches:
             for path, rg in zip(task_pdf["path"], task_pdf["rg"]):
@@ -784,7 +784,13 @@ def _extract_direct_scan(spark: SparkSession, pages_dir: str, from_html: bool) -
                             text = text.where(~mask, fallback)
                     else:
                         text = pdf["text"]
-                    tokens = [py_tokenize(t) if isinstance(t, str) else [] for t in text]
+                    try:
+                        # vectorized Arrow kernel (byte-identical twin,
+                        # property-tested); tokenization is ~half this
+                        # feed's CPU
+                        tokens = arrow_tokenize(text)
+                    except Exception:
+                        tokens = [py_tokenize(t) if isinstance(t, str) else [] for t in text]
                     if has_doc_id:
                         doc_id = pdf["doc_id"].to_numpy(np.int64)
                     else:

@@ -62,3 +62,38 @@ def tokens_col(col: Column | str) -> Column:
 
 def doc_len_col(col: Column | str) -> Column:
     return F.size(tokens_col(col))
+
+
+# Explicit separator-character set (same bytes as SEP_RE_*), for the
+# Arrow trim kernel below.
+SEP_CHARS = "".join(
+    chr(c) for a, b in ((0x00, 0x2F), (0x3A, 0x60), (0x7B, 0x7F)) for c in range(a, b + 1)
+)
+
+
+def arrow_tokenize(texts) -> list[list[str]]:
+    """Vectorized twin of ``[py_tokenize(t) for t in texts]`` — Arrow
+    C++ kernels end to end (ascii_lower -> trim separators -> collapse
+    separator runs to one space -> split), byte-identical to the
+    re-based twin (property-tested in test_tokenize). None -> [].
+
+    ~2x the python loop on realistic web text; used by the build's
+    direct-read extract feed where tokenization is on the per-core
+    critical path. ascii_lower touches ONLY A-Z (the reference's
+    to_ascii_lowercase, cli.rs:385); non-ASCII codepoints are token
+    chars and pass through untouched in both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, pa.Array) else pa.array(texts, pa.string())
+    low = pc.ascii_lower(pc.fill_null(arr, ""))
+    trimmed = pc.utf8_trim(low, SEP_CHARS)
+    toks = pc.split_pattern(
+        pc.replace_substring_regex(trimmed, SEP_RE_JAVA, " "), " "
+    ).to_pylist()
+    empty = np.asarray(pc.equal(pc.utf8_length(trimmed), 0))
+    if empty.any():  # "" splits to [""], the twin yields []
+        for i in np.flatnonzero(empty):
+            toks[i] = []
+    return toks

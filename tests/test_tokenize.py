@@ -1,6 +1,8 @@
 """Tokenizer/normalizer: golden vectors + Spark-vs-Python identity."""
 
 import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from lsearch_spark.tokenize import ascii_lower, ascii_lower_col, py_tokenize, tokens_col
@@ -36,3 +38,20 @@ def test_spark_tokenize_matches_python(spark):
         assert row["toks"] == py_tokenize(text), text
         assert row["low"] == ascii_lower(text), text
     assert rows[-1]["toks"] == []  # null text -> []
+
+
+def test_arrow_tokenize_matches_python_golden():
+    from lsearch_spark.tokenize import arrow_tokenize
+
+    texts = [t for t, _ in GOLDEN] + [None, "", "   ", "\x00\x7f", "ÉÜ中"]
+    got = arrow_tokenize(texts)
+    want = [py_tokenize(t) if isinstance(t, str) else [] for t in texts]
+    assert got == want
+
+
+@given(st.lists(st.text(max_size=60), max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_arrow_tokenize_matches_python_random(texts):
+    from lsearch_spark.tokenize import arrow_tokenize
+
+    assert arrow_tokenize(texts) == [py_tokenize(t) for t in texts]
