@@ -11,7 +11,7 @@ incremental-append variants — plus a Structured-Streaming-ingested
 index whose final state shares the batch SQL oracle, pruned
 conjunctions, metadata-filtered `within` search, per-term match
 highlights, and vocabulary prefix completion) and are checked
-against a full BM25 reimplementation in ANSI SQL — ALL 52 entries are
+against a full BM25 reimplementation in ANSI SQL — ALL 53 entries are
 oracle-checked, zero rows-only: pure-Python twins (the JVM-parity
 XXH64, a left-fold float64 replay, the numpy Lloyd replay, and the
 Spark-free fake-media generator) feed DuckDB the expected rows as
@@ -137,6 +137,21 @@ def _bm25_highlights(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("score", 5).alias("score"), "term",
         F.explode("positions").alias("pos"),
+    )
+
+
+def _bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 recall (top-50) re-ranked by embedding
+    cosine to vec 7 (query.search_rerank). Engine cosine is the JVM
+    left-fold; the oracle replays it bit-identically."""
+    from lsearch_spark.query import search_rerank
+
+    wh = _documents_wh(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    out = search_rerank(spark, wh, "data query", qv, emb, k=10, k0=50)
+    return out.select(
+        "doc_id", F.round("score", 5).alias("score"), F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -367,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (LEFT SEMI docset, deeper-tau pruning + a-posteriori verify);
     # ranking stats stay corpus-global — the oracle filters AFTER scoring
     q["bm25_within_top10"] = lambda s, d: _bm25_within(s, d, "data query", "lang = 'en'")
+    # hybrid: BM25 recall -> embedding-cosine rerank (two-stage retrieval)
+    q["bm25_rerank_top10"] = _bm25_rerank
     # highlight pass: top-k + per-term token offsets from the positional
     # index (exploded to scalar rows — the driver canonicalizer can't
     # sort array cells, same lesson as media_frame_sample)
@@ -718,6 +735,65 @@ def _simhash_pairs_values(sf_dir: str, max_hamming: int = 3) -> str:
     return sql
 
 
+def _cosine_values(sf_dir: str, query_vid: int = 7) -> str:
+    """VALUES list of (doc_id, cosine) for EVERY embedding vs the query
+    vector — float64 left-fold replay of the JVM aggregate(), so any
+    BM25 candidate subset can join against it."""
+    key = ("rerank_cos", sf_dir, query_vid)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_pylist()
+    embs = [[float(x) for x in e] for e in t["embedding"].to_pylist()]
+    qvec = embs[vids.index(query_vid)]
+
+    import numpy as np
+
+    def fdot(a, b):
+        # zip_with(float_col, double_lit): the float side promotes to
+        # double per element -> float64 multiply + left-fold
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fnorm32(a):
+        # norm() runs transform(a, x*x) on the FLOAT column: Multiply
+        # of two FloatType operands stays float32, THEN accumulates in
+        # float64 — replay the float32 square exactly
+        acc = 0.0
+        for x in a:
+            acc += float(np.float32(x) * np.float32(x))
+        return math.sqrt(acc)
+
+    qn = math.sqrt(fdot(qvec, qvec))  # query side is a double literal array
+    rows = []
+    for vid, e in zip(vids, embs):
+        d = fnorm32(e) * qn
+        rows.append((int(vid), fdot(e, qvec) / d if d > 0 else 0.0))
+    vals = ", ".join(f"({v}, {c!r})" for v, c in sorted(rows))
+    sql = f"(VALUES {vals}) AS c(doc_id, cosine)"
+    _twin_memo[key] = sql
+    return sql
+
+
+def _bm25_rerank_sql(terms: list[str], k0: int = 50, k: int = 10, query_vid: int = 7) -> str:
+    """BM25 top-k0 (same SQL CTE as every bm25 entry) joined with the
+    left-fold cosine twin, re-ranked (cosine DESC, doc_id ASC) top-k."""
+    base = _bm25_sql(terms).replace("LIMIT 10", f"LIMIT {k0}")
+    cos = _cosine_values(_oracle_sf_dir(), query_vid)
+    return f"""
+WITH top AS (SELECT * FROM ({base}))
+SELECT t.doc_id, t.score, round(c.cosine, 6) AS cosine
+FROM top t JOIN {cos} ON c.doc_id = t.doc_id
+ORDER BY c.cosine DESC, t.doc_id LIMIT {k}
+"""
+
+
 def _lsh_top10_values(sf_dir: str, n_planes: int = 10, radius: int = 2, k: int = 10) -> str:
     """VALUES list of (vec_id, cosine): the exact LSH multi-probe top-k,
     replayed in pure Python — same seeded hyperplanes, same probe set,
@@ -1027,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_selective_top10": _bm25_sql(["dup", "batch"], mode="and"),
         "bm25_highlights_top10": _bm25_highlights_sql(["data", "query"]),
         "bm25_within_top10": _bm25_within_sql(["data", "query"], "lang = 'en'"),
+        "bm25_rerank_top10": _bm25_rerank_sql(["data", "query"]),
         "suggest_terms_s": f"""
 WITH tf AS (
   SELECT doc_id, term

@@ -2073,3 +2073,54 @@ def suggest_terms(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(n)
     )
+
+
+RERANK_SCHEMA = "doc_id long, score double, cosine double"
+
+
+def search_rerank(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    query: str,
+    query_vec,
+    embeddings: DataFrame,
+    k: int = 10,
+    k0: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "or",
+    prune: bool = True,
+    within: DataFrame | str | None = None,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 RECALL (top-k0 candidates through the full
+    query planner — pruning, negation, within all compose) re-ranked by
+    embedding cosine to `query_vec`. The standard two-stage shape of an
+    LLM-era retrieval pipeline: the lexical index bounds the candidate
+    set, the dense scorer orders it. Returns DataFrame(doc_id, score
+    [BM25], cosine) ordered (cosine DESC, doc_id ASC), limited to k.
+
+    Scale shape: the k0 candidate ids are a BROADCAST side against the
+    embeddings table (no shuffle — one columnar scan of (id, vector)
+    reduced to k0 rows executor-side), and the cosine is the JVM-side
+    zip_with/aggregate fold (functions/ann.py — no Python in the path).
+    Candidates without an embedding row drop out (inner join) — at web
+    scale the embeddings table should be stored id-partitioned so the
+    broadcast join prunes its scan; pair with functions.ann's LSH/IVF
+    indexes when the candidate set must come from the dense side
+    instead. Stats/rounding twins: cosine accumulates in float64
+    left-fold order, bit-reproducible by the entry oracles' replay."""
+    from .functions.ann import _lit_vec, cosine
+
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    top = search(spark, wh, query, k=k0, mode=mode, prune=prune, within=within)
+    qv = _lit_vec(query_vec)
+    return (
+        embeddings.join(F.broadcast(top), embeddings[id_col] == top["doc_id"])
+        .select(
+            top["doc_id"],
+            top["score"],
+            cosine(F.col(vec_col), qv).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -944,3 +944,52 @@ def test_suggest_terms_matches_oracle(spark, wh, pyidx):
     assert got == want and got
     assert suggest_terms(spark, wh, "", n=5).count() == 0
     assert suggest_terms(spark, wh, "zzzznope", n=5).count() == 0
+
+
+def test_search_rerank_matches_oracle(spark, wh, pyidx, tmp_path):
+    """Two-stage hybrid retrieval: BM25 top-k0 candidates re-ranked by
+    cosine to a query vector. Oracle: python BM25 top-k0 (tie-ordered)
+    + float64 left-fold cosines, sorted (cos DESC, id ASC) top-k."""
+    import math
+
+    from lsearch_spark.query import search_rerank
+
+    rng = np.random.RandomState(11)
+    ids = sorted(pyidx.doc_len)
+    vecs = {d: rng.normal(size=8).astype("float32") for d in ids}
+    emb = spark.createDataFrame(
+        [(int(d), [float(x) for x in v]) for d, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[ids[3]]]
+
+    def fdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def fnorm32(a):
+        # Spark norm() squares FLOAT columns in float32 (Multiply of two
+        # FloatType operands), then accumulates float64 — replay exactly
+        acc = 0.0
+        for x in a:
+            acc += float(np.float32(x) * np.float32(x))
+        return math.sqrt(acc)
+
+    k0, k = 25, 5
+    top = bm25_topk(pyidx, "the biology", k=k0)
+    qn = math.sqrt(fdot(qv, qv))  # query literal is double-typed
+    want = []
+    for d, s in top:
+        v = [float(x) for x in vecs[d]]
+        den = fnorm32(v) * qn
+        want.append((d, s, fdot(v, qv) / den if den > 0 else 0.0))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    want = want[:k]
+
+    got = search_rerank(spark, wh, "the biology", qv, emb, k=k, k0=k0).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _, _ in want]
+    for r, (d, s, c) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+        assert math.isclose(r["cosine"], c, rel_tol=1e-12), (r["doc_id"], r["cosine"], c)
