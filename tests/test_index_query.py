@@ -993,3 +993,43 @@ def test_search_rerank_matches_oracle(spark, wh, pyidx, tmp_path):
     for r, (d, s, c) in zip(got, want):
         assert math.isclose(r["score"], s, rel_tol=1e-9)
         assert math.isclose(r["cosine"], c, rel_tol=1e-12), (r["doc_id"], r["cosine"], c)
+
+
+def test_randomized_within_shapes_match_oracle(spark, wh, pyidx):
+    """Seeded random sweep over the grammar WITH a within docset: every
+    sampled shape (1-3 positive terms, optional '-term'), with lang
+    slices of varying selectivity, pruned (incl. forced-routed
+    probe=True) and exhaustive, must equal the python oracle's
+    full-ranking-filtered-then-top-k — exercising the verified-pruned,
+    fallback, and exhaustive within routes across planner shapes."""
+    from lsearch_spark.corpus import make_pages
+
+    pdf = make_pages(N_DOCS)
+    slices = {
+        "lang = 'en'": set(int(d) for d in pdf.loc[pdf["lang"] == "en", "doc_id"]),
+        "lang = 'de'": set(int(d) for d in pdf.loc[pdf["lang"] == "de", "doc_id"]),
+        "lang IN ('fr', 'de')": set(
+            int(d) for d in pdf.loc[pdf["lang"].isin(["fr", "de"]), "doc_id"]
+        ),
+    }
+    rng = np.random.RandomState(20260817 + 9)
+    terms = sorted(pyidx.postings, key=lambda t: -len(pyidx.postings[t]))
+    hot, mid, rare = terms[:5], terms[5:50], terms[50:400]
+
+    def pick(pool):
+        return pool[int(rng.randint(len(pool)))]
+
+    preds = list(slices)
+    n_all = len(pyidx.doc_len)
+    for _ in range(10):
+        pos = [pick((hot, mid, rare)[int(rng.randint(3))]) for _ in range(1 + int(rng.randint(3)))]
+        q = " ".join(dict.fromkeys(pos))
+        if rng.rand() < 0.35:
+            q += f" -{pick((hot, mid)[int(rng.randint(2))])}"
+        pred = preds[int(rng.randint(len(preds)))]
+        keep = slices[pred]
+        full = bm25_topk(pyidx, q, k=n_all + 1)
+        want = [(d, s) for d, s in full if d in keep][:7]
+        for kw in ({"prune": False}, {"prune": True}, {"prune": True, "probe": True}):
+            got = search(spark, wh, q, k=7, within=pred, **kw).collect()
+            assert_rank_identical(got, want), (q, pred, kw)
