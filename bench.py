@@ -159,6 +159,50 @@ def memcpy_control(workers=(1, 4, 16), mb: int = 256, dur: float = 1.5) -> dict:
     return out
 
 
+def _kernel_worker(paths) -> int:
+    """Spark-free replay of the extract-stage kernel over whole parquet
+    files: html-strip + arrow tokenize, exactly the direct-feed code."""
+    import pyarrow.parquet as pq
+
+    from lsearch_spark.extract import extract_text_series
+    from lsearch_spark.tokenize import arrow_tokenize
+
+    n = 0
+    for p in paths:
+        for b in pq.ParquetFile(p).iter_batches(batch_size=2048, columns=["html", "text"]):
+            pdf = b.to_pandas()
+            text = extract_text_series(pdf["html"])
+            mask = pdf["html"].isna().to_numpy()
+            if mask.any():
+                text = text.where(~mask, pdf["text"])
+            n += sum(len(t) > 0 for t in arrow_tokenize(text))
+    return n
+
+
+def kernel_control(src: str, workers=(4, 16)) -> dict:
+    """ENGINE-KERNEL scaling control, no Spark: the extract feed's own
+    code (pyarrow split read -> html strip -> arrow tokenize) run under
+    a bare process pool over the same corpus files, at both core
+    counts. If THIS scales and the Spark stage doesn't, the gap is
+    scheduling/transfer; if this doesn't scale either, the machine
+    phase caps everything (read against control_memcpy_gbps)."""
+    import multiprocessing as mp
+
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = {}
+    for w in workers:
+        shards = [files[i::w] for i in range(w)]
+        t0 = time.time()
+        with mp.Pool(w) as pool:
+            docs = sum(pool.map(_kernel_worker, shards))
+        out[str(w)] = round(docs / (time.time() - t0), 1)
+    lo, hi = workers[0], workers[-1]
+    out["eff"] = round((out[str(hi)] / out[str(lo)]) / (hi / lo), 3)
+    return out
+
+
 HEALTHY_1W_GBPS = 10.2  # known-good 1-worker memcpy rate for this probe
 
 
@@ -254,6 +298,10 @@ def main() -> None:
     # same-session environment control (Spark-free): attributes any
     # degradation vs the known-good reference numbers to the machine
     control = memcpy_control()
+    # engine-kernel twin of the same control: the extract feed's own
+    # code under a bare process pool — separates "Spark doesn't scale"
+    # from "the kernel/machine doesn't" at the same instant
+    kcontrol = kernel_control(src, workers=pair)
 
     # query latencies on the hi-parallelism index, warm session.
     # Protocol (VERDICT r3 #1): per-query MEDIAN of REPS, with the
@@ -379,10 +427,16 @@ def main() -> None:
         "batch_rare_total_sec": round(batch_rare_sec, 4),
         "batch_rare_per_query_ms": round(1000.0 * batch_rare_sec / max(len(bq_rare), 1), 1),
         "control_memcpy_gbps": control,
+        "control_kernel_docs_per_sec": kcontrol,
         "health_gate": health,
         "health_probes": health_probes,
     }
     os.makedirs("BENCH", exist_ok=True)
+    if sf < 0.1 and os.environ.get("SPARK_GRAFT_WRITE_BASELINE") != "1":
+        # small-sf smoke runs must not clobber the headline-scale
+        # BASELINE.md protocol document; JSON still prints below
+        print(json.dumps(result))
+        return
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — measured numbers (bench.py)
