@@ -490,6 +490,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_match_docs"] = _phrase_docs
 
+    def _phrase_prox(s, d):
+        from lsearch_spark.query import phrase_search
+
+        wh = _documents_wh(s, d)
+        return phrase_search(s, wh, "the data", k=100000, slop=2).select(
+            "doc_id", F.col("phrase_tf").alias("prox_tf")
+        )
+
+    q["phrase_prox_docs"] = _phrase_prox
+
     # --- dedup (training-data pipeline) ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_kept_ids"] = lambda s, d: dedup.drop_exact_dups(_docs(s, d)).select("doc_id")
@@ -1131,6 +1141,20 @@ WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term LIMIT 10
             f"SELECT doc_id FROM documents "
             f"WHERE contains(' ' || array_to_string({toks}, ' ') || ' ', ' the data ')"
         ),
+        # ordered proximity 'the .. data' (slop=2): a match is a 'data'
+        # position with a 'the' position 1..3 tokens before it;
+        # prox_tf = matched final-term positions (engine phrase_tf twin)
+        "phrase_prox_docs": f"""
+WITH tk AS (
+  SELECT doc_id, unnest({toks}) AS term, generate_subscripts({toks}, 1) AS pos
+  FROM documents
+),
+a AS (SELECT doc_id, pos FROM tk WHERE term = 'the'),
+b AS (SELECT doc_id, pos FROM tk WHERE term = 'data')
+SELECT b.doc_id AS doc_id, CAST(count(DISTINCT b.pos) AS INTEGER) AS prox_tf
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+GROUP BY b.doc_id
+""",
         "dedup_exact_groups": (
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),

@@ -56,6 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument("--scratch-dir", default=None,
                     help="scratch location for read-only warehouses")
+    ph.add_argument("--slop", type=int, default=0,
+                    help="max intervening tokens between consecutive terms (0 = exact phrase)")
 
     bt = sub.add_parser("batch", help="N queries in ONE job (amortized scheduler floor)")
     bt.add_argument("--warehouse", required=True)
@@ -116,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         from .query import phrase_search
 
         out = phrase_search(spark, args.warehouse, args.query, k=args.k,
-                            scratch_dir=args.scratch_dir)
+                            scratch_dir=args.scratch_dir, slop=args.slop)
         for r in out.collect():
             print(f"[{r['score']:.4f}] {r['doc_id']} tf={r['phrase_tf']}")
     elif args.cmd == "batch":

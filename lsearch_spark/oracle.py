@@ -160,10 +160,14 @@ def bm25_topk(idx: PyIndex, query: str, k: int = 10, mode: str = "or") -> list[t
     return ranked[:k]
 
 
-def phrase_topk(idx: PyIndex, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+def phrase_topk(
+    idx: PyIndex, phrase: str, k: int = 10, slop: int = 0
+) -> list[tuple[int, float]]:
     """Exact-phrase top-k: docs containing the tokens consecutively;
     tf = number of phrase occurrences (overlapping counted); scored with
-    BM25 using df = number of phrase-matching docs."""
+    BM25 using df = number of phrase-matching docs. slop > 0 allows up
+    to slop intervening tokens between consecutive phrase terms
+    (ordered proximity; tf = matched final-term positions)."""
     terms = py_tokenize(phrase)
     if not terms:
         return []
@@ -176,7 +180,7 @@ def phrase_topk(idx: PyIndex, phrase: str, k: int = 10) -> list[tuple[int, float
             if not nxt:
                 cand = set()
                 break
-            cand = {p + 1 for p in cand} & set(nxt)
+            cand = {p for p in nxt if any(1 <= p - c <= slop + 1 for c in cand)}
         if cand:
             matches[doc_id] = len(cand)
     df = len(matches)

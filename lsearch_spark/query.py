@@ -1840,8 +1840,18 @@ def phrase_search(
     k: int = 10,
     scratch_dir: str | None = None,
     within: DataFrame | str | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k over the positional index, in two phases:
+
+    slop: ordered proximity — consecutive phrase terms may be up to
+    `slop` intervening tokens apart (slop=0 is the exact phrase).
+    Semantics: a match is a position p of term i+1 with some matched
+    position c of term i satisfying 1 <= p - c <= slop + 1;
+    phrase_tf = number of matched final-term positions. Phase 1's
+    candidate/range pruning is slop-independent (co-occurrence only),
+    so the plan shape is identical; only the JVM position fold widens
+    from array_intersect to a bounded-window exists().
 
     within (see search()): candidates are LEFT SEMI-filtered to the
     metadata docset AFTER the phrase df/idf is computed — ranking stats
@@ -1955,9 +1965,26 @@ def phrase_search(
             *([F.col("doc_len")] if j == 0 else []),
         )
         joined = side if joined is None else joined.join(side, "doc_id")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     candpos = F.col(colof[terms[0]])
     for t in terms[1:]:
-        candpos = F.array_intersect(F.transform(candpos, lambda x: x + 1), F.col(colof[t]))
+        if slop == 0:
+            # exact-adjacency fast path: set intersect beats the
+            # nested exists() when the window is a single position
+            candpos = F.array_intersect(F.transform(candpos, lambda x: x + 1), F.col(colof[t]))
+        else:
+            # factory call binds prev per iteration; the inner lambdas
+            # must stay single-argument (pyspark HOFs dispatch on arity)
+            def _window(prev, nxt):
+                return F.filter(
+                    nxt,
+                    lambda p: F.exists(
+                        prev, lambda c: (p - c >= 1) & (p - c <= slop + 1)
+                    ),
+                )
+
+            candpos = _window(candpos, F.col(colof[t]))
     matches = (
         joined.withColumn("phrase_tf", F.size(candpos))
         .filter(F.col("phrase_tf") > 0)

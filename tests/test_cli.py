@@ -43,6 +43,8 @@ def test_cli_build_and_search(cli_env, capsys):
 
 def test_cli_phrase_and_batch(cli_env, capsys):
     _run(["phrase", "--warehouse", cli_env["wh"], "--query", "the", "-k", "3"])
+    _run(["phrase", "--warehouse", cli_env["wh"], "--query", "the data",
+          "-k", "3", "--slop", "2"])
     assert "tf=" in capsys.readouterr().out
     _run(["batch", "--warehouse", cli_env["wh"], "-q", "biology", "-q", "the ~of", "-k", "3"])
     out = capsys.readouterr().out

@@ -142,6 +142,33 @@ def test_phrase_search_matches_oracle(spark, wh, pyidx, phrase):
             assert tfs[spark_doc] == pyidx.postings["spark"][spark_doc] - 1
 
 
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [("quantum flux", 1), ("quantum flux", 3), ("the biology", 2), ("tiebreak flux", 2)],
+)
+def test_phrase_slop_matches_oracle(spark, wh, pyidx, phrase, slop):
+    from lsearch_spark.oracle import phrase_topk
+    from lsearch_spark.query import phrase_search
+
+    want = phrase_topk(pyidx, phrase, k=50, slop=slop)
+    got = phrase_search(spark, wh, phrase, k=50, slop=slop).collect()
+    assert_rank_identical(got, [(d, s) for d, s in want])
+
+
+def test_phrase_slop_widens_matches(spark, wh, pyidx):
+    # "tiebreak flux" never occurs adjacent ("tiebreak quantum flux" docs
+    # have one token between) but matches at slop>=1 — slop must engage
+    from lsearch_spark.oracle import phrase_topk
+    from lsearch_spark.query import phrase_search
+
+    assert phrase_topk(pyidx, "tiebreak flux", k=10, slop=0) == []
+    wide = phrase_topk(pyidx, "tiebreak flux", k=10, slop=1)
+    assert wide, "corpus should hold a gap-1 'tiebreak . flux' occurrence"
+    got = phrase_search(spark, wh, "tiebreak flux", k=10, slop=1).collect()
+    assert_rank_identical(got, [(d, s) for d, s in wide])
+    assert not phrase_search(spark, wh, "tiebreak flux", k=10, slop=0).collect()
+
+
 def test_pruned_stopword_decodes_fewer_blocks(spark, wh, pyidx):
     """The reference's --stats analog (cli.rs:14-96) + VERDICT r1 item 8:
     on a stopword query the pruned plan must decode strictly fewer blocks
