@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_and_selective_top10"] = lambda s, d: _bm25(s, d, "dup batch", mode="and", prune=True)
     # vocabulary prefix completion over term_stats (no postings touched)
     q["suggest_terms_s"] = lambda s, d: _suggest(s, d, "s")
+    # wildcard prefix query: 's*' expands via the vocabulary table into
+    # a BM25 disjunction through the normal (pruned) planner
+    q["bm25_wildcard_top10"] = lambda s, d: _bm25(s, d, "s*", prune=True)
     # metadata-filtered search: candidates restricted to lang='en' docs
     # (LEFT SEMI docset, deeper-tau pruning + a-posteriori verify);
     # ranking stats stay corpus-global — the oracle filters AFTER scoring
@@ -1122,6 +1125,35 @@ WITH tf AS (
 )
 SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
 WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term LIMIT 10
+""",
+        # wildcard 's*': the vocabulary subselect mirrors the engine's
+        # expansion exactly — top-64 matching terms by (df DESC, term ASC)
+        # — then plain disjunctive BM25 over the expanded set
+        "bm25_wildcard_top10": f"""
+WITH dl AS (
+  SELECT doc_id, len({_toks_sql('text')}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), alltf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents)
+  GROUP BY doc_id, term
+), vocab AS (
+  SELECT term FROM (SELECT term, count(*) AS df FROM alltf WHERE term LIKE 's%' GROUP BY term)
+  ORDER BY df DESC, term LIMIT 64
+), tf AS (
+  SELECT * FROM alltf WHERE term IN (SELECT term FROM vocab)
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 5) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
 """,
         "bm25_appended_top10": _bm25_sql(["data", "query"]),
         "bm25_compacted_top10": _bm25_sql(["data", "query"]),

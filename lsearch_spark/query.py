@@ -932,6 +932,8 @@ def search(
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
+    if "*" in query:
+        query = expand_wildcards(spark, wh, query)
     pos, neg, less = parse_query(query)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if _stats is not None:
@@ -1334,6 +1336,8 @@ def batch_search(
     qless: dict[str, list[str]] = {}
     items = queries.items() if isinstance(queries, dict) else ((f"q{i}", q) for i, q in enumerate(queries))
     for qid, q in items:
+        if "*" in q:
+            q = expand_wildcards(spark, wh, q)
         pos, neg, less = parse_query(q)
         qmap[str(qid)] = pos
         qneg[str(qid)] = neg
@@ -2100,6 +2104,42 @@ def suggest_terms(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(n)
     )
+
+
+def expand_wildcards(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    query: str,
+    max_expansions: int = 64,
+) -> str:
+    """Rewrite trailing-* wildcard tokens into explicit disjunctions of
+    index-vocabulary terms (Lucene-style prefix query): 'quant*' becomes
+    'quantum quantize ...' — the max_expansions highest-df terms under
+    the prefix, resolved from the tiny term_stats table (suggest_terms;
+    no postings touched), deterministically ordered (df DESC, term ASC)
+    so the cap is reproducible. '-'/'~' operators distribute over the
+    expansion ('-quant*' excludes every expanded term). A prefix with no
+    vocabulary match expands to nothing — absent-term semantics. The
+    rewritten string then flows through the NORMAL planner, so expanded
+    terms prune, batch, and compose with within/negation like any
+    hand-written disjunction. A bare '*' is rejected (it would be a
+    full-vocabulary scan)."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    out: list[str] = []
+    for raw in query.split():
+        op = raw[0] if raw[:1] in ("-", "~") else ""
+        body = raw.lstrip("-~")
+        if not body.endswith("*"):
+            out.append(raw)
+            continue
+        stem_toks = py_tokenize(body[:-1])
+        if not stem_toks:
+            raise ValueError(f"bare or non-tokenizable wildcard {raw!r}")
+        # multi-token stems ('data-base*') wildcard only the LAST token
+        out.extend(op + t for t in stem_toks[:-1])
+        expansion = suggest_terms(spark, wh, stem_toks[-1], n=max_expansions).collect()
+        out.extend(op + r["term"] for r in expansion)
+    return " ".join(out)
 
 
 RERANK_SCHEMA = "doc_id long, score double, cosine double"

@@ -169,6 +169,47 @@ def test_phrase_slop_widens_matches(spark, wh, pyidx):
     assert not phrase_search(spark, wh, "tiebreak flux", k=10, slop=0).collect()
 
 
+def _py_expand(pyidx, stem, cap=64):
+    ranked = sorted(
+        ((t, len(p)) for t, p in pyidx.postings.items() if t.startswith(stem)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return [t for t, _ in ranked[:cap]]
+
+
+@pytest.mark.parametrize("stem,extra", [("qu", ""), ("bio", "-chemistry"), ("gla", "~the")])
+def test_wildcard_search_matches_oracle(spark, wh, pyidx, stem, extra):
+    from lsearch_spark.oracle import bm25_topk
+
+    expanded = " ".join(_py_expand(pyidx, stem) + extra.split())
+    want = bm25_topk(pyidx, expanded, k=10)
+    got = search(spark, wh, f"{stem}* {extra}".strip(), k=10).collect()
+    assert_rank_identical(got, want)
+
+
+def test_wildcard_operators_and_batch(spark, wh, pyidx):
+    from lsearch_spark.oracle import bm25_topk
+    from lsearch_spark.query import batch_search, expand_wildcards
+
+    # '-' distributes over the expansion
+    expanded_neg = " ".join("-" + t for t in _py_expand(pyidx, "qu"))
+    want = bm25_topk(pyidx, f"biology {expanded_neg}", k=10)
+    got = search(spark, wh, "biology -qu*", k=10).collect()
+    assert_rank_identical(got, want)
+    # batch path expands identically to the single path
+    rows = batch_search(spark, wh, {"a": "qu*", "b": "biology -qu*"}, k=10).collect()
+    single_a = search(spark, wh, "qu*", k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert by_q["a"] == [(r["doc_id"], r["score"]) for r in single_a]
+    assert by_q["b"] == [(r["doc_id"], r["score"]) for r in got]
+    # no-match prefix drops out; bare '*' is rejected
+    assert search(spark, wh, "zzzz*", k=10).collect() == []
+    with pytest.raises(ValueError):
+        expand_wildcards(spark, wh, "*")
+
+
 def test_pruned_stopword_decodes_fewer_blocks(spark, wh, pyidx):
     """The reference's --stats analog (cli.rs:14-96) + VERDICT r1 item 8:
     on a stopword query the pruned plan must decode strictly fewer blocks
