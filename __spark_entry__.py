@@ -658,6 +658,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = lambda s, d: _docs(s, d).select(
         "doc_id", textstats.fingerprint("text").alias("fp")
     )
+    # Gopher-style repetition signals (mean token length, duplicate-
+    # trigram fraction, top-bigram dominance) — pure Catalyst array ops
+    q["textstats_repetition"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        F.round(textstats.mean_token_len("text"), 6).alias("mean_tok_len"),
+        F.round(textstats.dup_ngram_frac("text", 3), 6).alias("dup3_frac"),
+        F.round(textstats.top_ngram_frac("text", 2), 6).alias("top2_frac"),
+    )
 
     # --- multimodal plumbing (deterministic fake decode; rows-only) ---
     q["media_image_features"] = lambda s, d: multimodal.decode_image_features(multimodal.synth_media(s, 120))
@@ -1254,6 +1262,35 @@ p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
 SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
 """,
         "fingerprints": f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents",
+        "textstats_repetition": f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+base AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) > 0
+              THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+              ELSE 0.0 END AS mtl,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri
+  FROM tk
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                       i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM tk
+),
+bitop AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2
+  FROM (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+       round(mtl, 6) AS mean_tok_len,
+       round(CASE WHEN len(tri) > 0
+                  THEN (len(tri) - len(list_distinct(tri)))::DOUBLE / len(tri)
+                  ELSE 0.0 END, 6) AS dup3_frac,
+       round(coalesce(bitop.top2, 0.0), 6) AS top2_frac
+FROM base LEFT JOIN bitop ON base.doc_id = bitop.doc_id
+""",
         "events_by_minute": """
 SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
        count(*) AS n_events, count(DISTINCT user_id) AS n_users, round(sum(value), 6) AS sum_value

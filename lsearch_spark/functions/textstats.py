@@ -85,6 +85,67 @@ def lang_id(text: Column | str = "text") -> Column:
     return out
 
 
+def _ngram_list(toks: Column, n: int) -> Column:
+    """NON-distinct n-gram strings (dedup.ngram_set's distinct twin):
+    repetition metrics need multiplicity."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def mean_token_len(text: Column | str = "text") -> Column:
+    """Mean token length in chars (0.0 for token-less docs) — the
+    Gopher-style 'mean word length' signal (healthy prose ~3-10)."""
+    toks = _toks(text)
+    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return (
+        F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0)).cast("double")
+    )
+
+
+def dup_ngram_frac(text: Column | str = "text", n: int = 3) -> Column:
+    """Fraction of n-grams that are repeats of an earlier-seen gram
+    ((total - distinct) / total; 0.0 when no n-grams) — the Gopher-style
+    duplicate-n-gram repetition signal. Pure Catalyst array ops."""
+    grams = _ngram_list(_toks(text), n)
+    tot = F.size(grams)
+    return (
+        F.when(tot > 0, (tot - F.size(F.array_distinct(grams))) / tot)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+
+
+def top_ngram_frac(text: Column | str = "text", n: int = 2) -> Column:
+    """Occurrences of the single most frequent n-gram / total n-grams
+    (0.0 when no n-grams) — the Gopher-style top-n-gram dominance
+    signal. JVM-side O(t log t): sort the gram list, fold the longest
+    equal run with an aggregate() accumulator — no per-row loop in
+    Python, no explode/shuffle."""
+    grams = F.array_sort(_ngram_list(_toks(text), n))
+    tot = F.size(grams)
+    run_best = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(tot > 0, run_best / tot).otherwise(F.lit(0.0)).cast("double")
+
+
 def fingerprint(text: Column | str = "text") -> Column:
     """Content fingerprint over NORMALIZED tokens (md5 hex — portable to
     the DuckDB oracle), i.e. whitespace/case/punctuation-insensitive."""

@@ -127,6 +127,58 @@ def test_textstats(spark):
         "the cat and the dog in a house it is you".split()).encode()).hexdigest()
 
 
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # one bigram repeated
+            (2, "a b c d e f"),                    # no repetition
+            (3, "the cat sat the cat sat the cat"),# duplicated 3-grams
+            (4, ""),                               # token-less
+            (5, "word"),                           # below n-gram length
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in df.select(
+        "doc_id",
+        textstats.mean_token_len("text").alias("mtl"),
+        textstats.dup_ngram_frac("text", 3).alias("dup3"),
+        textstats.top_ngram_frac("text", 2).alias("top2"),
+    ).collect()}
+    assert abs(r[1]["mtl"] - 4.0) < 1e-12
+    assert r[1]["top2"] == 1.0          # 'spam spam' is all 3 bigrams
+    assert abs(r[1]["dup3"] - 0.5) < 1e-12   # 2 trigrams, 1 distinct
+    assert r[2]["dup3"] == 0.0 and abs(r[2]["top2"] - 1 / 5) < 1e-12
+    # doc 3: 6 trigrams, distinct {'the cat sat','cat sat the','sat the cat'} -> dup 0.5;
+    # 7 bigrams, 'the cat' x3 -> top2 3/7
+    assert abs(r[3]["dup3"] - 0.5) < 1e-12
+    assert abs(r[3]["top2"] - 3 / 7) < 1e-12
+    assert r[4]["mtl"] == 0.0 and r[4]["dup3"] == 0.0 and r[4]["top2"] == 0.0
+    assert r[5]["dup3"] == 0.0 and r[5]["top2"] == 0.0 and r[5]["mtl"] == 4.0
+
+
+def test_repetition_stats_match_python_twin(spark, pages):
+    rows = pages.select(
+        "doc_id",
+        textstats.mean_token_len("text").alias("mtl"),
+        textstats.dup_ngram_frac("text", 3).alias("dup3"),
+        textstats.top_ngram_frac("text", 2).alias("top2"),
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in pages.select("doc_id", "text").collect()}
+    from collections import Counter
+
+    from lsearch_spark.tokenize import py_tokenize
+
+    for r in rows:
+        toks = py_tokenize(texts[r["doc_id"]])
+        mtl = sum(map(len, toks)) / len(toks) if toks else 0.0
+        tri = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        bi = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        dup3 = (len(tri) - len(set(tri))) / len(tri) if tri else 0.0
+        top2 = max(Counter(bi).values()) / len(bi) if bi else 0.0
+        assert abs(r["mtl"] - mtl) < 1e-9 and abs(r["dup3"] - dup3) < 1e-9
+        assert abs(r["top2"] - top2) < 1e-9, r["doc_id"]
+
+
 def test_exact_dedup(spark, pages):
     groups = dedup.exact_dup_groups(pages).filter(F.col("n_dups") > 1).collect()
     assert len(groups) == 1 and groups[0]["n_dups"] == 2  # the tie pair
