@@ -658,6 +658,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = lambda s, d: _docs(s, d).select(
         "doc_id", textstats.fingerprint("text").alias("fp")
     )
+    # --- per-source curation (the per-domain shapes; documents has no
+    # url column, so `source` is the group key) ---
+    from lsearch_spark.functions import webstats
+
+    q["source_doc_stats"] = lambda s, d: webstats.group_stats(
+        _docs(s, d), "source", key_name="source"
+    ).select(
+        "source", "n_docs", "n_tokens", F.round("avg_quality", 6).alias("avg_quality")
+    )
+    q["source_capped_ids"] = lambda s, d: webstats.cap_per_group(
+        _docs(s, d), "source", 10
+    ).select("source", "doc_id")
+
     # Gopher-style repetition signals (mean token length, duplicate-
     # trigram fraction, top-bigram dominance) — pure Catalyst array ops
     q["textstats_repetition"] = lambda s, d: _docs(s, d).select(
@@ -1262,6 +1275,24 @@ p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
 SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
 """,
         "fingerprints": f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents",
+        "source_doc_stats": f"""
+WITH ql AS (
+  SELECT doc_id, source,
+         len({toks}) AS n_tokens,
+         0.25 * least(1.0, len({toks}) / 200.0)
+         + 0.25 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END)
+         + 0.25 * least(1.0, 5.0 * (CASE WHEN len({toks}) > 0 THEN len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE / len({toks}) ELSE 0.0 END))
+         + 0.25 * (1.0 - least(1.0, 10.0 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END))) AS quality
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM ql GROUP BY source
+""",
+        "source_capped_ids": (
+            "SELECT source, doc_id FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10"
+        ),
         "textstats_repetition": f"""
 WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
 base AS (

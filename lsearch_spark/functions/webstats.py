@@ -1,0 +1,75 @@
+"""Per-host / per-source operators for web-corpus curation — the
+"limit documents per domain" and "domain-level quality" shapes a
+Common-Crawl training pipeline runs before sampling.
+
+All pure Catalyst: host extraction is a regexp over the url column,
+group stats are one hash aggregation, and the per-group cap is one
+window — the three standard shapes, each a single shuffle on the group
+key. Skew note: a window partitions ALL of a host's rows into one task;
+AQE splits oversized shuffle partitions for the aggregation but cannot
+split a window partition, so a pathological mega-host bounds the cap's
+task time — cap_per_group is therefore sized for the realistic
+many-hosts regime (Common Crawl: ~10^8 hosts, heavy but not degenerate
+tail), and the docstring's threshold variant is the escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+from .textstats import quality_score
+
+
+def url_host(url: Column | str = "url") -> Column:
+    """Lowercased host of a URL: the authority component minus
+    userinfo ('user@') and port (':8080'). Deterministic regexp —
+    byte-identical across engines (the DuckDB oracle runs the same
+    pattern) — rather than java.net.URI semantics. Scheme-less or
+    malformed urls yield ''."""
+    c = F.col(url) if isinstance(url, str) else url
+    auth = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", "")
+    return F.lower(host)
+
+
+def group_stats(
+    df: DataFrame, key: Column | str, text: str = "text", key_name: str = "host"
+) -> DataFrame:
+    """Per-group corpus stats: docs, total tokens, mean quality_score.
+    ONE hash aggregation (partial map-side combine, AQE-coalesced);
+    returns DataFrame(<key_name>, n_docs, n_tokens, avg_quality)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(k.alias(key_name))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col(text))).alias("n_tokens"),
+            F.avg(quality_score(text)).alias("avg_quality"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    key: Column | str,
+    cap: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Keep at most `cap` rows per group, deterministically: rows are
+    ranked within each group by `order_by` (default doc_id ASC — the
+    stable choice; pass e.g. [quality_score('text').desc(), 'doc_id']
+    to keep the best) and rows ranked > cap are dropped. ONE window
+    (single shuffle on the group key). For corpora with a degenerate
+    mega-group, pre-aggregate the cap-th order key per group
+    (groupBy + sort_array(collect_list)[cap-1]) and broadcast-join the
+    threshold instead — same result, skew-splittable aggregation."""
+    k = F.col(key) if isinstance(key, str) else key
+    order = order_by if order_by is not None else [F.col("doc_id").asc()]
+    w = Window.partitionBy(k).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from lsearch_spark import oracle
 from lsearch_spark.corpus import make_pages, pages_df
-from lsearch_spark.functions import ann, dedup, textstats
+from lsearch_spark.functions import ann, dedup, textstats, webstats
 from lsearch_spark.functions.lsearch import (
     ContentRun,
     cascade,
@@ -177,6 +177,53 @@ def test_repetition_stats_match_python_twin(spark, pages):
         top2 = max(Counter(bi).values()) / len(bi) if bi else 0.0
         assert abs(r["mtl"] - mtl) < 1e-9 and abs(r["dup3"] - dup3) < 1e-9
         assert abs(r["top2"] - top2) < 1e-9, r["doc_id"]
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Example.COM/a/b?q=1"),
+            (2, "http://user:pw@site.org:8080/x"),
+            (3, "ftp://files.net"),
+            (4, "not a url"),
+            (5, "https://host.io#frag"),
+        ],
+        "doc_id long, url string",
+    )
+    r = {x["doc_id"]: x["h"] for x in df.select("doc_id", webstats.url_host("url").alias("h")).collect()}
+    assert r[1] == "www.example.com"
+    assert r[2] == "site.org"
+    assert r[3] == "files.net"
+    assert r[4] == ""
+    assert r[5] == "host.io"
+
+
+def test_group_stats_and_cap(spark, pages):
+    from lsearch_spark.tokenize import py_tokenize
+
+    hosts = pages.withColumn("host", webstats.url_host("url"))
+    stats = {r["host"]: r for r in webstats.group_stats(hosts, "host").collect()}
+    rows = hosts.select("host", "doc_id", "text").collect()
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for r in rows:
+        want[r["host"]][0] += 1
+        want[r["host"]][1] += len(py_tokenize(r["text"]))
+    assert set(stats) == set(want)
+    for h, (n, tok) in want.items():
+        assert stats[h]["n_docs"] == n and stats[h]["n_tokens"] == tok
+        assert 0.0 <= stats[h]["avg_quality"] <= 1.0
+    # cap: at most 3 per host, keeping LOWEST doc_ids
+    capped = webstats.cap_per_group(hosts, "host", 3)
+    got = defaultdict(list)
+    for r in capped.select("host", "doc_id").collect():
+        got[r["host"]].append(r["doc_id"])
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r["doc_id"])
+    for h, ids in by_host.items():
+        assert sorted(got[h]) == sorted(ids)[:3]
 
 
 def test_exact_dedup(spark, pages):
