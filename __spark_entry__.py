@@ -671,6 +671,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "source", 10
     ).select("source", "doc_id")
 
+    # full curation pipeline: dedup -> lang -> tokens -> repetition ->
+    # per-source quota, ONE declarative plan (pipeline.curate)
+    def _curation(s, d):
+        from lsearch_spark.pipeline import CurationRules, curate
+
+        rules = CurationRules(lang="en", min_tokens=5, max_dup3=0.5, cap_per_source=10)
+        return curate(_docs(s, d), rules).select("doc_id")
+
+    q["curation_kept_ids"] = _curation
+
     # Gopher-style repetition signals (mean token length, duplicate-
     # trigram fraction, top-bigram dominance) — pure Catalyst array ops
     q["textstats_repetition"] = lambda s, d: _docs(s, d).select(
@@ -1275,6 +1285,31 @@ p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
 SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
 """,
         "fingerprints": f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents",
+        # sequential rule chain, same thresholds as the entry's rules;
+        # dedup = lowest doc_id per exact text, quota = lowest 10 per source
+        "curation_kept_ids": f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, {toks} AS t FROM documents
+),
+feat AS (
+  SELECT doc_id, source,
+         doc_id = min(doc_id) OVER (PARTITION BY text) AS pass_dedup,
+         lang = 'en' AS pass_lang,
+         len(t) >= 5 AS pass_tokens,
+         CASE WHEN len(t) >= 3 THEN
+           (SELECT CASE WHEN len(tri) > 0
+                        THEN (len(tri) - len(list_distinct(tri)))::DOUBLE / len(tri)
+                        ELSE 0.0 END
+            FROM (SELECT list_transform(generate_series(1, len(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri))
+         ELSE 0.0 END <= 0.5 AS pass_rep
+  FROM base
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM feat WHERE pass_dedup AND pass_lang AND pass_tokens AND pass_rep
+) WHERE rk <= 10
+""",
         "source_doc_stats": f"""
 WITH ql AS (
   SELECT doc_id, source,
