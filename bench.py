@@ -464,6 +464,7 @@ shuffle.partitions = 2x cores.
 | blocks decoded, "of and" AND-mode (conjunctive probe tau) | {prune_stats['of_and_conj']['blocks_decoded']} of {prune_stats['of_and_conj']['blocks_total']} | exact, plan={prune_stats['of_and_conj']['plan']} |
 | blocks decoded, "tiebreak the" AND-mode (candidate-driven) | {prune_stats['tiebreak_the_conj']['blocks_decoded']} of {prune_stats['tiebreak_the_conj']['blocks_total']} | exact, plan={prune_stats['tiebreak_the_conj']['plan']} |
 | same-session memcpy control (GB/s @1/4/16 workers) | {control['1']} / {control['4']} / {control['16']} | Spark-free; healthy ref ~10.2/28.8/100.9 |
+| **same-session ENGINE-KERNEL control (docs/s @{list(pair)[0]}/{list(pair)[1]} workers)** | {kcontrol[str(pair[0])]} / {kcontrol[str(pair[1])]} = **eff {kcontrol['eff']}** | extract feed's own code, bare process pool |
 | pre-run health gate | {health} ({len(health_probes)} probe(s); last 1w {health_probes[-1]['1']} GB/s) | probe-first, defer-if-throttled (r4 #2) |
 | build reps local[{lo}] | {build_reps[lo]} | interleaved |
 | build reps local[{hi}] | {build_reps[hi]} | interleaved |
@@ -474,6 +475,22 @@ Query protocol: per-query MEDIAN of {REPS} reps, exhaustive and pruned
 runs interleaved within each rep (single-shot numbers swung 1.7-3x
 between sessions; medians over interleaved reps are the robust
 statistic the r3 verdict asked for).
+
+Scaling-efficiency reading (r5): the ENGINE-KERNEL control runs the
+extract feed's OWN code (pyarrow split read -> html strip -> arrow
+tokenize) under a bare process pool over the same corpus at both core
+counts, in the same session as the Spark measurement. It separates the
+three factors the single "scaling efficiency" number conflates: the
+kernel's intrinsic scalability (this control), the machine phase (the
+memcpy control), and Spark's scheduling/transfer overhead (the gap
+between this control and the Spark stage walls). When the kernel
+control reads >=0.8 while the Spark build reads lower IN THE SAME
+SESSION, the shortfall decomposes into the memcpy-control machine
+phase plus the shuffle-bound later stages (flat/blocks are bandwidth-
+bound by design — they move the posting data), not per-stage Python
+overhead; the healthy-phase run (a) below, where build scaling read
+0.70 with extract at ~0.9, bounds the engine's own ceiling on this
+box's 2.84x-bandwidth pair.
 
 r5 flat-stage fix (VERDICT r4 #3, the one engine-side serial fraction
 left): in parquet mode the flat kernel's python tasks now open the
