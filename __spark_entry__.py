@@ -671,6 +671,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "source", 10
     ).select("source", "doc_id")
 
+    # mixture sampling: plan per-source rates for a token budget at
+    # target weights, then the deterministic hash-threshold sample
+    def _mixture(s, d):
+        docs = _docs(s, d)
+        stats = webstats.group_stats(docs, "source", key_name="source")
+        rates = webstats.plan_mixture(stats, _MIXTURE_WEIGHTS, _MIXTURE_BUDGET)
+        return webstats.stratified_sample(docs, rates).select("doc_id", "source")
+
+    q["mixture_sampled_ids"] = _mixture
+
     # full curation pipeline: dedup -> lang -> tokens -> repetition ->
     # per-source quota, ONE declarative plan (pipeline.curate)
     def _curation(s, d):
@@ -729,6 +739,53 @@ _twin_memo: dict[tuple, str] = {}
 
 def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF", _ORACLE_SF_DEFAULT)
+
+
+_MIXTURE_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+_MIXTURE_BUDGET = 2000
+
+
+def _mixture_sample_values(sf_dir: str) -> str:
+    """VALUES list of (doc_id, source) kept by the mixture sample:
+    pure-python twin of group_stats token counts -> plan_mixture rates
+    -> the xxhash64 hash-threshold rule (codec twin of F.xxhash64 over
+    the doc_id's 8 little-endian bytes)."""
+    key = ("mixture", sf_dir)
+    if key in _twin_memo:
+        return _twin_memo[key]
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from lsearch_spark.codec import xxhash64
+    from lsearch_spark.functions.webstats import SAMPLE_RESOLUTION, plan_mixture
+    from lsearch_spark.tokenize import py_tokenize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    ids, texts, srcs = (
+        t["doc_id"].to_pylist(),
+        t["text"].to_pylist(),
+        t["source"].to_pylist(),
+    )
+    tokens: dict[str, int] = {}
+    for txt, src in zip(texts, srcs):
+        tokens[src] = tokens.get(src, 0) + len(py_tokenize(txt or ""))
+    rates = plan_mixture(tokens, _MIXTURE_WEIGHTS, _MIXTURE_BUDGET)
+    rows = []
+    for did, src in zip(ids, srcs):
+        r = rates.get(src, 0.0)
+        h = xxhash64(struct.pack("<q", did)) % SAMPLE_RESOLUTION
+        if h < round(r * SAMPLE_RESOLUTION):
+            rows.append(f"({did}, '{src}')")
+    sql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, source)"
+    )
+    _twin_memo[key] = sql
+    return sql
 
 
 def _simhash_pairs_values(sf_dir: str, max_hamming: int = 3) -> str:
@@ -1241,6 +1298,7 @@ WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
         # full value oracles via the pure-Python twins (VALUES relations
         # computed from the parquet testdata with zero Spark involvement)
         "simhash_near_dups": _simhash_pairs_values(_oracle_sf_dir()),
+        "mixture_sampled_ids": _mixture_sample_values(_oracle_sf_dir()),
         "ann_lsh_top10": _lsh_top10_values(_oracle_sf_dir()),
         "ann_ivf_top10": _ivf_top10_values(_oracle_sf_dir()),
         "embedding_near_dup_pairs": _emb_neardup_values(_oracle_sf_dir()),

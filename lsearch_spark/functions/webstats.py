@@ -51,6 +51,63 @@ def group_stats(
     )
 
 
+SAMPLE_RESOLUTION = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: a row is kept iff
+    pmod(xxhash64(<id_col>), RESOLUTION) < round(rate * RESOLUTION) for
+    its stratum's rate. Purely map-side (no shuffle, no RNG state): the
+    SAME ids are kept at any cluster size, any partitioning, any rerun
+    — the property that makes a 10^12-doc sampling job resumable and
+    its output reproducible. Strata absent from `rates` are dropped
+    (rate 0). Rates are clamped to [0, 1]."""
+    thr = F.create_map(
+        *[
+            x
+            for k, r in sorted(rates.items())
+            for x in (
+                F.lit(k),
+                F.lit(int(round(max(0.0, min(1.0, r)) * SAMPLE_RESOLUTION))),
+            )
+        ]
+    )
+    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(SAMPLE_RESOLUTION))
+    return df.filter(h < F.coalesce(thr[F.col(key)], F.lit(0)))
+
+
+def plan_mixture(
+    stats: DataFrame | dict[str, int],
+    weights: dict[str, float],
+    token_budget: int,
+    key_name: str = "source",
+) -> dict[str, float]:
+    """Per-stratum sampling rates that hit `token_budget` total tokens
+    at the target mixture `weights` (normalized): rate_s = min(1,
+    budget * w_s / tokens_s). Driver arithmetic over group_stats()
+    output (or a {stratum: n_tokens} dict) — the stats relation is one
+    row per stratum, tiny at any corpus size. A stratum too small for
+    its target weight saturates at rate 1.0 (the standard
+    under-represented-domain behavior; re-normalize externally if the
+    budget must be exact)."""
+    if isinstance(stats, dict):
+        tokens = dict(stats)
+    else:
+        tokens = {r[key_name]: r["n_tokens"] for r in stats.collect()}
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    return {
+        s: min(1.0, token_budget * (w / wsum) / max(tokens.get(s, 0), 1))
+        for s, w in weights.items()
+    }
+
+
 def cap_per_group(
     df: DataFrame,
     key: Column | str,

@@ -226,6 +226,65 @@ def test_group_stats_and_cap(spark, pages):
         assert sorted(got[h]) == sorted(ids)[:3]
 
 
+def test_xxhash64_long_twin_matches_spark(spark):
+    # Spark hashes a LongType via XXH64.hashLong == XXH64 over the value's
+    # 8 little-endian bytes; the codec twin must agree (sampling depends on it)
+    import struct
+
+    from lsearch_spark.codec import xxhash64
+
+    vals = [0, 1, -1, 42, -(2**63), 2**63 - 1, 123456789012345, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == xxhash64(struct.pack("<q", v)), v
+
+
+def test_stratified_sample_deterministic_and_twin(spark, pages):
+    import struct
+
+    from lsearch_spark.codec import xxhash64
+
+    hosts = pages.withColumn("host", webstats.url_host("url"))
+    rates = {}
+    for i, r in enumerate(sorted({x["host"] for x in hosts.select("host").distinct().collect()})):
+        rates[r] = [0.0, 0.3, 1.0][i % 3]
+    kept = sorted(r["doc_id"] for r in webstats.stratified_sample(hosts, rates, key="host").collect())
+    # python twin: same hash-threshold rule
+    want = []
+    for r in hosts.select("doc_id", "host").collect():
+        rate = rates.get(r["host"], 0.0)
+        h = xxhash64(struct.pack("<q", r["doc_id"])) % webstats.SAMPLE_RESOLUTION
+        if h < round(rate * webstats.SAMPLE_RESOLUTION):
+            want.append(r["doc_id"])
+    assert kept == sorted(want)
+    # determinism across repartitioning
+    kept2 = sorted(
+        r["doc_id"]
+        for r in webstats.stratified_sample(hosts.repartition(13), rates, key="host").collect()
+    )
+    assert kept2 == kept
+
+
+def test_plan_mixture(spark, pages):
+    hosts = pages.withColumn("host", webstats.url_host("url"))
+    stats = webstats.group_stats(hosts, "host")
+    tokens = {r["host"]: r["n_tokens"] for r in stats.collect()}
+    two = sorted(tokens)[:2]
+    weights = {two[0]: 3.0, two[1]: 1.0}
+    budget = int(0.5 * (tokens[two[0]] + tokens[two[1]]))
+    rates = webstats.plan_mixture(stats, weights, budget, key_name="host")
+    assert set(rates) == set(weights)
+    for s, r in rates.items():
+        assert 0.0 <= r <= 1.0
+        expect = min(1.0, budget * (weights[s] / 4.0) / tokens[s])
+        assert abs(r - expect) < 1e-12
+    # dict input path agrees
+    assert webstats.plan_mixture(tokens, weights, budget) == rates
+    with pytest.raises(ValueError):
+        webstats.plan_mixture(tokens, {two[0]: 0.0}, budget)
+
+
 def test_exact_dedup(spark, pages):
     groups = dedup.exact_dup_groups(pages).filter(F.col("n_dups") > 1).collect()
     assert len(groups) == 1 and groups[0]["n_dups"] == 2  # the tie pair
