@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--warehouse", required=True)
     cp.add_argument("--dest", default=None)
 
+    cu = sub.add_parser("curate", help="curation pipeline: dedup/lang/tokens/quality/repetition/quota")
+    cu.add_argument("--input", required=True, help="parquet path with a text column")
+    cu.add_argument("--output", required=True, help="output parquet path for kept rows")
+    cu.add_argument("--lang", default=None)
+    cu.add_argument("--min-tokens", type=int, default=None)
+    cu.add_argument("--max-tokens", type=int, default=None)
+    cu.add_argument("--min-quality", type=float, default=None)
+    cu.add_argument("--max-dup3", type=float, default=None)
+    cu.add_argument("--max-top2", type=float, default=None)
+    cu.add_argument("--cap-per-source", type=int, default=None)
+    cu.add_argument("--source-col", default="source")
+    cu.add_argument("--report", action="store_true", help="print per-stage drop counts")
+
     d = sub.add_parser("demo", help="synthetic corpus -> build -> query")
     d.add_argument("--docs", type=int, default=2000)
     d.add_argument("--warehouse", default="/tmp/lsearch_demo_wh")
@@ -137,6 +150,20 @@ def main(argv: list[str] | None = None) -> int:
 
         dst = compact_index(spark, args.warehouse, args.dest)
         print(f"compacted into {dst.root}")
+    elif args.cmd == "curate":
+        from .pipeline import CurationRules, curate, curation_report
+
+        rules = CurationRules(
+            lang=args.lang, min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+            min_quality=args.min_quality, max_dup3=args.max_dup3, max_top2=args.max_top2,
+            cap_per_source=args.cap_per_source, source_col=args.source_col,
+        )
+        docs = spark.read.parquet(args.input)
+        curate(docs, rules).write.mode("overwrite").parquet(args.output)
+        if args.report:
+            for r in curation_report(docs, rules).collect():
+                print(f"{r['stage']}: {r['n']}")
+        print(f"curated corpus written to {args.output}")
     elif args.cmd == "demo":
         from .build import build_index
         from .corpus import pages_df

@@ -62,3 +62,25 @@ def test_cli_append_and_compact(spark, cli_env, capsys):
     a = [tuple(r) for r in search(spark, cli_env["wh"], "biology", k=5).collect()]
     b = [tuple(r) for r in search(spark, cli_env["wh"] + "2", "biology", k=5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_cli_curate(spark, cli_env, capsys, tmp_path):
+    from lsearch_spark.pipeline import CurationRules, curate
+
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "kept.parquet")
+    docs = (
+        spark.read.parquet(cli_env["even"])
+        .selectExpr("doc_id", "text", "lang", "'s' AS source")
+    )
+    docs.write.parquet(src)
+    _run(["curate", "--input", src, "--output", out,
+          "--min-tokens", "3", "--cap-per-source", "40", "--report"])
+    printed = capsys.readouterr().out
+    assert "curated corpus written" in printed and "input:" in printed and "kept:" in printed
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in curate(docs, CurationRules(min_tokens=3, cap_per_source=40)).collect()
+    )
+    assert got == want and 0 < len(got) <= 40
