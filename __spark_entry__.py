@@ -381,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # wildcard prefix query: 's*' expands via the vocabulary table into
     # a BM25 disjunction through the normal (pruned) planner
     q["bm25_wildcard_top10"] = lambda s, d: _bm25(s, d, "s*", prune=True)
+    # fuzzy term query: 'quary~' expands to vocabulary terms within
+    # levenshtein distance 1 through the same planner path
+    q["bm25_fuzzy_top10"] = lambda s, d: _bm25(s, d, "quary~", prune=True)
     # metadata-filtered search: candidates restricted to lang='en' docs
     # (LEFT SEMI docset, deeper-tau pruning + a-posteriori verify);
     # ranking stats stay corpus-global — the oracle filters AFTER scoring
@@ -1228,6 +1231,37 @@ WITH dl AS (
   GROUP BY doc_id, term
 ), vocab AS (
   SELECT term FROM (SELECT term, count(*) AS df FROM alltf WHERE term LIKE 's%' GROUP BY term)
+  ORDER BY df DESC, term LIMIT 64
+), tf AS (
+  SELECT * FROM alltf WHERE term IN (SELECT term FROM vocab)
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 5) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+""",
+        # fuzzy 'quary~': vocabulary terms within levenshtein 1, same
+        # top-64 (df DESC, term ASC) cap as the engine's expansion
+        "bm25_fuzzy_top10": f"""
+WITH dl AS (
+  SELECT doc_id, len({_toks_sql('text')}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), alltf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_toks_sql('text')}) AS term FROM documents)
+  GROUP BY doc_id, term
+), vocab AS (
+  SELECT term FROM (SELECT term, count(*) AS df FROM alltf
+                    WHERE abs(length(term) - 5) <= 1
+                      AND levenshtein(term, 'quary') <= 1
+                    GROUP BY term)
   ORDER BY df DESC, term LIMIT 64
 ), tf AS (
   SELECT * FROM alltf WHERE term IN (SELECT term FROM vocab)

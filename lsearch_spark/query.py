@@ -86,6 +86,7 @@ the warehouse's query_metrics table.
 from __future__ import annotations
 
 import math
+import re
 import time
 import uuid
 from collections.abc import Iterator
@@ -932,7 +933,7 @@ def search(
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
-    if "*" in query:
+    if _needs_rewrite(query):
         query = expand_wildcards(spark, wh, query)
     pos, neg, less = parse_query(query)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
@@ -1336,7 +1337,7 @@ def batch_search(
     qless: dict[str, list[str]] = {}
     items = queries.items() if isinstance(queries, dict) else ((f"q{i}", q) for i, q in enumerate(queries))
     for qid, q in items:
-        if "*" in q:
+        if _needs_rewrite(q):
             q = expand_wildcards(spark, wh, q)
         pos, neg, less = parse_query(q)
         qmap[str(qid)] = pos
@@ -2106,6 +2107,41 @@ def suggest_terms(
     )
 
 
+def fuzzy_terms(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    term: str,
+    max_dist: int = 1,
+    n: int = 64,
+) -> DataFrame:
+    """Index-vocabulary terms within levenshtein distance `max_dist` of
+    `term` (normalized with the indexing tokenizer), the n highest-df
+    first (df DESC, term ASC). Pure Catalyst over the tiny term_stats
+    table with a cheap length-window pre-filter (|len(t)-len(term)| <=
+    max_dist, pushable) ahead of the levenshtein scan; no postings
+    touched. At web scale the vocabulary relation is millions of rows,
+    not billions — a parallel scan of it per fuzzy token is the
+    standard cost (Lucene pays an FST walk; the length window plus
+    column pruning keeps this the same order of cheap)."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    toks = py_tokenize(term)
+    if not toks:
+        return spark.createDataFrame([], "term string, df long")
+    t = toks[0]
+    return (
+        st["term_stats_rel"]
+        .filter(F.abs(F.length("term") - F.lit(len(t))) <= max_dist)
+        .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+_FUZZY_SUFFIX = re.compile(r"~(\d?)$")
+
+
 def expand_wildcards(
     spark: SparkSession,
     warehouse: str | Warehouse,
@@ -2123,23 +2159,41 @@ def expand_wildcards(
     rewritten string then flows through the NORMAL planner, so expanded
     terms prune, batch, and compose with within/negation like any
     hand-written disjunction. A bare '*' is rejected (it would be a
-    full-vocabulary scan)."""
+    full-vocabulary scan).
+
+    Fuzzy tokens rewrite the same way: 'quary~' (or 'quary~2') expands
+    into the vocabulary terms within levenshtein distance 1 (or the
+    given digit) via fuzzy_terms(). A LEADING '~' is still the less
+    operator — '~quary~' is a fuzzy less-term."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     out: list[str] = []
     for raw in query.split():
         op = raw[0] if raw[:1] in ("-", "~") else ""
         body = raw.lstrip("-~")
-        if not body.endswith("*"):
+        fz = _FUZZY_SUFFIX.search(body)
+        if body.endswith("*"):
+            stem = body[:-1]
+            expand = lambda t: suggest_terms(spark, wh, t, n=max_expansions)
+        elif fz and len(body) > len(fz.group(0)):
+            dist = int(fz.group(1) or "1")
+            stem = body[: fz.start()]
+            expand = lambda t, d=dist: fuzzy_terms(spark, wh, t, max_dist=d, n=max_expansions)
+        else:
             out.append(raw)
             continue
-        stem_toks = py_tokenize(body[:-1])
+        stem_toks = py_tokenize(stem)
         if not stem_toks:
-            raise ValueError(f"bare or non-tokenizable wildcard {raw!r}")
-        # multi-token stems ('data-base*') wildcard only the LAST token
+            raise ValueError(f"bare or non-tokenizable wildcard/fuzzy token {raw!r}")
+        # multi-token stems ('data-base*') rewrite only the LAST token
         out.extend(op + t for t in stem_toks[:-1])
-        expansion = suggest_terms(spark, wh, stem_toks[-1], n=max_expansions).collect()
-        out.extend(op + r["term"] for r in expansion)
+        out.extend(op + r["term"] for r in expand(stem_toks[-1]).collect())
     return " ".join(out)
+
+
+def _needs_rewrite(query: str) -> bool:
+    """'*' anywhere, or a token-final '~'/'~<digit>' (a LEADING '~' is
+    the less operator, not fuzzy)."""
+    return "*" in query or bool(re.search(r"[^\s~]~\d?(?=\s|$)", query))
 
 
 RERANK_SCHEMA = "doc_id long, score double, cosine double"

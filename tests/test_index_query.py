@@ -210,6 +210,52 @@ def test_wildcard_operators_and_batch(spark, wh, pyidx):
         expand_wildcards(spark, wh, "*")
 
 
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def _py_fuzzy(pyidx, stem, dist=1, cap=64):
+    ranked = sorted(
+        ((t, len(p)) for t, p in pyidx.postings.items()
+         if abs(len(t) - len(stem)) <= dist and _lev(t, stem) <= dist),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return [t for t, _ in ranked[:cap]]
+
+
+@pytest.mark.parametrize("stem,dist,extra", [("quary", 1, ""), ("quant", 2, ""), ("biolog", 1, "-chemistry")])
+def test_fuzzy_search_matches_oracle(spark, wh, pyidx, stem, dist, extra):
+    from lsearch_spark.oracle import bm25_topk
+
+    expansion = _py_fuzzy(pyidx, stem, dist)
+    assert expansion, f"test stem {stem!r} should match vocabulary"
+    want = bm25_topk(pyidx, " ".join(expansion + extra.split()), k=10)
+    suffix = "~" if dist == 1 else f"~{dist}"
+    got = search(spark, wh, f"{stem}{suffix} {extra}".strip(), k=10).collect()
+    assert_rank_identical(got, want)
+
+
+def test_fuzzy_edges(spark, wh, pyidx):
+    from lsearch_spark.query import expand_wildcards, fuzzy_terms
+
+    # exact-term typo: 'quary' alone matches nothing, 'quary~' finds query
+    assert search(spark, wh, "quary", k=10).collect() == []
+    assert search(spark, wh, "quary~", k=10).collect()
+    # leading '~' stays the less operator: '~biology' must NOT fuzzy-expand
+    rewritten = expand_wildcards(spark, wh, "spark ~biology")
+    assert rewritten == "spark ~biology"
+    # '~quary~' = fuzzy less-term
+    assert "~query" in expand_wildcards(spark, wh, "spark ~quary~").split()
+    # fuzzy_terms orders (df DESC, term ASC) and respects the length window
+    rows = fuzzy_terms(spark, wh, "quary", max_dist=1).collect()
+    assert [r["term"] for r in rows] == _py_fuzzy(pyidx, "quary", 1)
+
+
 def test_pruned_stopword_decodes_fewer_blocks(spark, wh, pyidx):
     """The reference's --stats analog (cli.rs:14-96) + VERDICT r1 item 8:
     on a stopword query the pruned plan must decode strictly fewer blocks
