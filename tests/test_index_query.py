@@ -657,6 +657,53 @@ def test_randomized_query_shapes_match_oracle(spark, wh, pyidx):
         assert_rank_identical(by_q.get(str(i), []), wants[q]), q
 
 
+def test_randomized_rewrite_shapes_match_oracle(spark, wh, pyidx):
+    """Seeded random sweep over the query-REWRITE surfaces: wildcard
+    stems, fuzzy stems (damaged vocabulary terms at distance 1/2), and
+    slop phrases — the rewritten/expanded plans must match the python
+    twin expansion fed through the oracle, exhaustive and pruned."""
+    from lsearch_spark.oracle import phrase_topk
+
+    rng = np.random.RandomState(20260818)
+    vocab = sorted(pyidx.postings, key=lambda t: -len(pyidx.postings[t]))
+
+    def pick(pool):
+        return pool[int(rng.randint(len(pool)))]
+
+    # wildcard: random 2-4 char stems of random vocabulary terms
+    for _ in range(4):
+        t = pick(vocab[: 200])
+        stem = t[: 2 + int(rng.randint(min(3, max(1, len(t) - 1))))]
+        expansion = _py_expand(pyidx, stem)
+        want = bm25_topk(pyidx, " ".join(expansion), k=7) if expansion else []
+        for prune in (False, True):
+            got = search(spark, wh, f"{stem}*", k=7, prune=prune).collect()
+            assert_rank_identical(got, want), (stem, prune)
+    # fuzzy: damage one char of a vocabulary term, distances 1 and 2
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for dist in (1, 2):
+        for _ in range(3):
+            t = pick(vocab[:150])
+            if len(t) < 3:
+                continue
+            i = int(rng.randint(len(t)))
+            damaged = t[:i] + pick(alphabet) + t[i + 1 :]
+            expansion = _py_fuzzy(pyidx, damaged, dist)
+            want = bm25_topk(pyidx, " ".join(expansion), k=7) if expansion else []
+            suffix = "~" if dist == 1 else f"~{dist}"
+            got = search(spark, wh, f"{damaged}{suffix}", k=7).collect()
+            assert_rank_identical(got, want), (damaged, dist)
+    # slop phrases: random hot+mid pairs at random slop
+    for _ in range(4):
+        a, b = pick(vocab[:30]), pick(vocab[:80])
+        slop = int(rng.randint(4))
+        want = phrase_topk(pyidx, f"{a} {b}", k=7, slop=slop)
+        from lsearch_spark.query import phrase_search
+
+        got = phrase_search(spark, wh, f"{a} {b}", k=7, slop=slop).collect()
+        assert_rank_identical(got, [(d, s) for d, s in want]), (a, b, slop)
+
+
 def test_randomized_and_shapes_match_oracle(spark, wh, pyidx):
     """Seeded random sweep over CONJUNCTIVE shapes (r5 AND planner):
     2-3 positive terms sampled across df strata, probe in {auto, True},
