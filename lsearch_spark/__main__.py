@@ -86,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--source-col", default="source")
     cu.add_argument("--report", action="store_true", help="print per-stage drop counts")
 
+    sm = sub.add_parser("sample", help="mixture-weighted deterministic sample to a token budget")
+    sm.add_argument("--input", required=True, help="parquet path with text + source columns")
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--budget", type=int, required=True, help="target total tokens")
+    sm.add_argument("--weights", required=True,
+                    help="comma list 'src0=2,src1=1' of stratum mixture weights")
+    sm.add_argument("--source-col", default="source")
+
     d = sub.add_parser("demo", help="synthetic corpus -> build -> query")
     d.add_argument("--docs", type=int, default=2000)
     d.add_argument("--warehouse", default="/tmp/lsearch_demo_wh")
@@ -164,6 +172,22 @@ def main(argv: list[str] | None = None) -> int:
             for r in curation_report(docs, rules).collect():
                 print(f"{r['stage']}: {r['n']}")
         print(f"curated corpus written to {args.output}")
+    elif args.cmd == "sample":
+        from .functions.webstats import group_stats, plan_mixture, stratified_sample
+
+        weights = {}
+        for part in args.weights.split(","):
+            name, _, w = part.partition("=")
+            weights[name.strip()] = float(w)
+        docs = spark.read.parquet(args.input)
+        stats = group_stats(docs, args.source_col, key_name=args.source_col)
+        rates = plan_mixture(stats, weights, args.budget, key_name=args.source_col)
+        stratified_sample(docs, rates, key=args.source_col).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        for s in sorted(rates):
+            print(f"{s}: rate={rates[s]:.6f}")
+        print(f"sampled corpus written to {args.output}")
     elif args.cmd == "demo":
         from .build import build_index
         from .corpus import pages_df

@@ -1721,6 +1721,10 @@ def plan_summary(
     query — terms, buckets, dfs, WAND bounds — without running it."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
+    if _needs_rewrite(query):
+        expanded = expand_wildcards(spark, wh, query)
+        summary = plan_summary(spark, wh, expanded, k=k, mode=mode, prune=prune)
+        return f"rewrite: {query!r} -> {expanded!r}\n{summary}"
     pos, neg, less = parse_query(query)
     n_docs = int(st["stats"]["n_docs"])
     dfs = _term_dfs(spark, st, wh, pos + less + neg)

@@ -84,3 +84,28 @@ def test_cli_curate(spark, cli_env, capsys, tmp_path):
         for r in curate(docs, CurationRules(min_tokens=3, cap_per_source=40)).collect()
     )
     assert got == want and 0 < len(got) <= 40
+
+
+def test_cli_sample_and_rewrite_strats(cli_env, capsys, tmp_path, spark):
+    from lsearch_spark.functions.webstats import group_stats, plan_mixture, stratified_sample
+    from lsearch_spark.query import plan_summary
+
+    src = str(tmp_path / "docs2.parquet")
+    out = str(tmp_path / "sampled.parquet")
+    docs = (
+        spark.read.parquet(cli_env["even"])
+        .selectExpr("doc_id", "text", "CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS source")
+    )
+    docs.write.parquet(src)
+    _run(["sample", "--input", src, "--output", out,
+          "--budget", "1500", "--weights", "a=3,b=1"])
+    printed = capsys.readouterr().out
+    assert "sampled corpus written" in printed and "a: rate=" in printed
+    stats = group_stats(docs, "source", key_name="source")
+    rates = plan_mixture(stats, {"a": 3.0, "b": 1.0}, 1500)
+    want = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == want and got
+    # plan_summary surfaces query rewrites
+    s = plan_summary(spark, cli_env["wh"], "bio*")
+    assert s.startswith("rewrite: 'bio*' ->") and "+biology:" in s
