@@ -384,6 +384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fuzzy term query: 'quary~' expands to vocabulary terms within
     # levenshtein distance 1 through the same planner path
     q["bm25_fuzzy_top10"] = lambda s, d: _bm25(s, d, "quary~", prune=True)
+
+    def _snippets(s, d):
+        from lsearch_spark.query import search_snippets
+
+        wh = _documents_wh(s, d)
+        out = search_snippets(s, wh, "data query", k=10, window=3, prune=True)
+        return out.select("doc_id", F.round("score", 5).alias("score"), "term", "snippet")
+
+    q["bm25_snippets_top10"] = _snippets
     # metadata-filtered search: candidates restricted to lang='en' docs
     # (LEFT SEMI docset, deeper-tau pruning + a-posteriori verify);
     # ranking stats stay corpus-global — the oracle filters AFTER scoring
@@ -1245,6 +1254,27 @@ WITH dl AS (
 )
 SELECT doc_id, round(s, 5) AS score FROM scored
 ORDER BY s DESC, doc_id LIMIT 10
+""",
+        # snippets: +-3 tokens around the first occurrence of the
+        # rarest (df ASC, term ASC) query term present in each top doc
+        "bm25_snippets_top10": f"""
+WITH tk AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+d AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+  WHERE term IN ('data', 'query') GROUP BY term
+),
+top AS ({_bm25_sql(['data', 'query'])}),
+pick AS (
+  SELECT top.doc_id, top.score, tk.t,
+         (SELECT d.term FROM d WHERE list_position(tk.t, d.term) > 0
+          ORDER BY d.df, d.term LIMIT 1) AS term
+  FROM top JOIN tk USING (doc_id)
+)
+SELECT doc_id, score, term,
+       array_to_string(list_slice(t, greatest(1, list_position(t, term) - 3),
+                                  greatest(1, list_position(t, term) - 3) + 6), ' ') AS snippet
+FROM pick
 """,
         # fuzzy 'quary~': vocabulary terms within levenshtein 1, same
         # top-64 (df DESC, term ASC) cap as the engine's expansion

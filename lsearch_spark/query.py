@@ -2031,6 +2031,67 @@ def phrase_search(
     )
 
 
+SNIPPET_SCHEMA = "doc_id long, score double, term string, snippet string"
+
+
+def search_snippets(
+    spark: SparkSession,
+    warehouse: str | Warehouse,
+    query: str,
+    k: int = 10,
+    window: int = 5,
+    mode: str = "or",
+    prune: bool = True,
+    within: DataFrame | str | None = None,
+) -> DataFrame:
+    """BM25 top-k with a TEXT SNIPPET per hit — the reference prints the
+    matching content line (cli.rs:484-500 analog); here the snippet is
+    the +-window tokens around the FIRST occurrence of the rarest
+    (lowest-df, highest-idf) live query term present in the doc, a
+    deterministic rule shared with the SQL oracle. Returns
+    DataFrame(doc_id, score, term, snippet) ordered (score DESC,
+    doc_id ASC).
+
+    Scale shape: ranking is search() (whatever plan the planner picks);
+    the snippet pass broadcasts the k result ids against the docs
+    table (LEFT-SEMI-sized probe, tokens column read for exactly k
+    docs at any corpus size) and computes term choice + slice as pure
+    Catalyst array expressions — no positional-index decode, no Python."""
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    st = _wh_state(spark, wh)
+    empty = spark.createDataFrame([], SNIPPET_SCHEMA)
+    if _needs_rewrite(query):
+        query = expand_wildcards(spark, wh, query)
+    top = search(spark, wh, query, k=k, mode=mode, prune=prune, within=within).collect()  # O(k)
+    if not top:
+        return empty
+    pos_terms, _neg, _less = parse_query(query)
+    dfs = _term_dfs(spark, st, wh, pos_terms)
+    live = sorted((t for t in pos_terms if t in dfs), key=lambda t: (dfs[t], t))
+    if not live:
+        return empty
+    ids = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in top], "doc_id long, score double"
+    )
+    docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
+    j = docs.join(F.broadcast(ids), "doc_id")
+    term_expr, pos_expr = F.lit(None).cast("string"), F.lit(None).cast("long")
+    for t in reversed(live):  # rarest-first precedence via later WHEN wins... build reversed
+        p = F.array_position("tokens", t)
+        term_expr = F.when(p > 0, F.lit(t)).otherwise(term_expr)
+        pos_expr = F.when(p > 0, p).otherwise(pos_expr)
+    start = F.greatest(F.lit(1), pos_expr - window)
+    return (
+        j.withColumn("term", term_expr)
+        .withColumn(
+            "snippet",
+            F.concat_ws(" ", F.slice("tokens", start, 2 * window + 1)),
+        )
+        .select("doc_id", "score", "term", "snippet")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 HIGHLIGHT_SCHEMA = "doc_id long, score double, term string, positions array<int>"
 
 

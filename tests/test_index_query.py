@@ -657,6 +657,36 @@ def test_randomized_query_shapes_match_oracle(spark, wh, pyidx):
         assert_rank_identical(by_q.get(str(i), []), wants[q]), q
 
 
+@pytest.mark.parametrize("q,window", [("quantum neural", 3), ("the glacier", 2), ("bio* -chemistry", 4)])
+def test_search_snippets_match_twin(spark, wh, pyidx, q, window):
+    from lsearch_spark.query import expand_wildcards, search_snippets
+
+    got = search_snippets(spark, wh, q, k=8, window=window).collect()
+    expanded = expand_wildcards(spark, wh, q) if "*" in q else q
+    want_rank = bm25_topk(pyidx, expanded, k=8)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want_rank
+    ]
+    from lsearch_spark.oracle import parse_query as _pq
+
+    pos, _, _ = _pq(expanded)
+    live = sorted((t for t in pos if t in pyidx.postings), key=lambda t: (len(pyidx.postings[t]), t))
+    def _doc_tokens(doc_id):
+        toks = [""] * pyidx.doc_len[doc_id]
+        for t, per_doc in pyidx.positions.items():
+            for p in per_doc.get(doc_id, ()):
+                toks[p] = t
+        return toks
+
+    for r in got:
+        toks = _doc_tokens(r["doc_id"])
+        term = next((t for t in live if t in toks), None)
+        assert r["term"] == term
+        p = toks.index(term) + 1  # 1-based, first occurrence
+        s = max(1, p - window)
+        assert r["snippet"] == " ".join(toks[s - 1 : s - 1 + 2 * window + 1])
+
+
 def test_randomized_rewrite_shapes_match_oracle(spark, wh, pyidx):
     """Seeded random sweep over the query-REWRITE surfaces: wildcard
     stems, fuzzy stems (damaged vocabulary terms at distance 1/2), and
