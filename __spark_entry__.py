@@ -703,6 +703,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_kept_ids"] = _curation
 
+    # PII scrub: deterministic PII synthesized from table data (the
+    # corpus itself holds none), then the sequential url->email->ip
+    # scrub; oracle runs the IDENTICAL regexes in DuckDB
+    def _pii(s, d):
+        doc = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.col("source"), F.lit("@example.org")),
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/x?y=1")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("10.0.0.1")),  # NULL otherwise: concat_ws skips it in both engines
+        )
+        counts = textstats.pii_counts(doc)
+        return _docs(s, d).select(
+            "doc_id",
+            counts["url"],
+            counts["email"],
+            counts["ip"],
+            F.md5(textstats.scrub_pii(doc)).alias("clean_md5"),
+        )
+
+    q["pii_scrubbed"] = _pii
+
     # Gopher-style repetition signals (mean token length, duplicate-
     # trigram fraction, top-bigram dominance) — pure Catalyst array ops
     q["textstats_repetition"] = lambda s, d: _docs(s, d).select(
@@ -1407,6 +1429,35 @@ p AS (SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
 SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
 """,
         "fingerprints": f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents",
+        "pii_scrubbed": r"""
+WITH doc AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   source || '@example.org',
+                   'https://' || source || '.example/x?y=1',
+                   CASE WHEN doc_id % 3 = 0 THEN '10.0.0.1' END) AS d
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(d, 'https?://[^\s]+')) AS INTEGER) AS n_url,
+         regexp_replace(d, 'https?://[^\s]+', '<URL>', 'g') AS d
+  FROM doc
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         CAST(len(regexp_extract_all(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+         regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS d
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(len(regexp_extract_all(d, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+         regexp_replace(d, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS d
+  FROM s2
+)
+SELECT doc_id, n_url, n_email, n_ip, md5(d) AS clean_md5 FROM s3
+""",
         # sequential rule chain, same thresholds as the entry's rules;
         # dedup = lowest doc_id per exact text, quota = lowest 10 per source
         "curation_kept_ids": f"""

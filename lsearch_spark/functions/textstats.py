@@ -146,6 +146,39 @@ def top_ngram_frac(text: Column | str = "text", n: int = 2) -> Column:
     return F.when(tot > 0, run_best / tot).otherwise(F.lit(0.0)).cast("double")
 
 
+# PII patterns, deliberately in the Java-regex ∩ RE2 common subset so
+# the DuckDB oracle runs the IDENTICAL strings. Scrub order is fixed
+# (url -> email -> ip): a URL can embed an email/ip, so later patterns
+# run on already-scrubbed text; counts follow the same sequence.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column | str = "text") -> Column:
+    """Text with urls, emails, and IPv4 literals replaced by <URL> /
+    <EMAIL> / <IP> placeholders — the standard pre-training scrub,
+    pure JVM regexp_replace chain (no Python)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(text: Column | str = "text") -> dict[str, Column]:
+    """{kind: count} of PII hits under the same sequential-scrub
+    semantics as scrub_pii (an email inside a URL counts once, as the
+    URL). Returns named Columns — select the ones you report."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind, pat, rep in PII_PATTERNS:
+        out[kind] = F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+        c = F.regexp_replace(c, pat, rep)
+    return out
+
+
 def fingerprint(text: Column | str = "text") -> Column:
     """Content fingerprint over NORMALIZED tokens (md5 hex — portable to
     the DuckDB oracle), i.e. whitespace/case/punctuation-insensitive."""

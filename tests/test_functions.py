@@ -127,6 +127,32 @@ def test_textstats(spark):
         "the cat and the dog in a house it is you".split()).encode()).hexdigest()
 
 
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org or see https://a.example/p?x=1&y=2 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.255, not 1.2.3.4567"),
+            (3, "http://user@host.example/path hides an email-looking string"),
+            (4, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = textstats.pii_counts("text")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", counts["url"], counts["email"], counts["ip"],
+        textstats.scrub_pii("text").alias("clean"),
+    ).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_url"] == 1 and rows[1]["n_ip"] == 0
+    assert "<EMAIL>" in rows[1]["clean"] and "<URL>" in rows[1]["clean"]
+    assert "bob" not in rows[1]["clean"] and "a.example" not in rows[1]["clean"]
+    assert rows[2]["n_ip"] == 2  # trailing-digit run breaks \b on the third
+    assert rows[2]["clean"].count("<IP>") == 2
+    # the url swallows its embedded email: counted once, as the url
+    assert rows[3]["n_url"] == 1 and rows[3]["n_email"] == 0
+    assert rows[4]["n_url"] == 0 and rows[4]["n_email"] == 0 and rows[4]["n_ip"] == 0
+    assert rows[4]["clean"] == "clean text with no identifiers"
+
+
 def test_repetition_stats(spark):
     df = spark.createDataFrame(
         [
