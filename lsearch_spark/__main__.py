@@ -86,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--source-col", default="source")
     cu.add_argument("--report", action="store_true", help="print per-stage drop counts")
 
+    si = sub.add_parser("stats", help="index introspection: corpus, vocabulary, storage, stage walls")
+    si.add_argument("--warehouse", required=True)
+
     sm = sub.add_parser("sample", help="mixture-weighted deterministic sample to a token budget")
     sm.add_argument("--input", required=True, help="parquet path with text + source columns")
     sm.add_argument("--output", required=True)
@@ -172,6 +175,39 @@ def main(argv: list[str] | None = None) -> int:
             for r in curation_report(docs, rules).collect():
                 print(f"{r['stage']}: {r['n']}")
         print(f"curated corpus written to {args.output}")
+    elif args.cmd == "stats":
+        import os as _os
+
+        from . import catalog, fsio
+        from .build import Warehouse
+
+        wh = Warehouse(args.warehouse)
+        cs = wh.corpus_stats(spark)
+        print(f"corpus: n_docs={int(cs['n_docs'])} avgdl={float(cs['avgdl']):.2f} "
+              f"total_tokens={int(cs.get('total_tokens', 0))}")
+        ts = catalog.read_table(spark, wh.root, "term_stats")
+        print(f"vocabulary: {ts.count()} terms")
+        pb = catalog.read_table(spark, wh.root, "postings")
+        from pyspark.sql import functions as _F
+
+        agg = pb.groupBy("kind").agg(_F.count("*").alias("blocks")).collect()
+        for r in sorted(agg, key=lambda x: x["kind"]):
+            label = "doc_id-ordered" if r["kind"] == 0 else "impact-ordered"
+            print(f"postings kind={r['kind']} ({label}): {r['blocks']} blocks")
+        for table in ("docs", "postings", "postings_flat", "term_stats", "term_block_stats"):
+            # Hadoop globs have no recursive '**': probe each partition depth
+            sizes = []
+            for depth in ("", "*", "*/*", "*/*/*"):
+                sizes += fsio.file_sizes(_os.path.join(wh.path(table), depth, "*.parquet"))
+            if sizes:
+                print(f"storage {table}: {sum(b for _, b in sizes) / 1e6:.1f} MB in {len(sizes)} files")
+        try:
+            bm = catalog.read_table(spark, wh.root, "build_metrics")
+            walls = bm.groupBy("stage").agg(_F.max("wall_ms").alias("wall_ms")).collect()
+            for r in sorted(walls, key=lambda x: x["stage"]):
+                print(f"stage {r['stage']}: {r['wall_ms'] / 1000.0:.2f}s")
+        except Exception:
+            pass  # pre-metrics warehouses
     elif args.cmd == "sample":
         from .functions.webstats import group_stats, plan_mixture, stratified_sample
 

@@ -109,3 +109,11 @@ def test_cli_sample_and_rewrite_strats(cli_env, capsys, tmp_path, spark):
     # plan_summary surfaces query rewrites
     s = plan_summary(spark, cli_env["wh"], "bio*")
     assert s.startswith("rewrite: 'bio*' ->") and "+biology:" in s
+
+
+def test_cli_stats(cli_env, capsys):
+    _run(["stats", "--warehouse", cli_env["wh"]])
+    out = capsys.readouterr().out
+    assert "corpus: n_docs=" in out and "vocabulary:" in out
+    assert "postings kind=0" in out and "storage postings:" in out
+    assert "stage extract:" in out and "stage blocks:" in out
