@@ -524,6 +524,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_near_dups"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), num_hashes=32, bands=8, n=2, threshold=0.8
     ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+    # decontamination: every 97th doc doubles as an "eval probe"; the
+    # cross-table band join must find each probe's source (jaccard 1)
+    # plus any 0.8+ near-matches — full all-pairs SQL oracle
+    def _contamination(s, d):
+        docs = _docs(s, d)
+        probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("probe_id"), "text"
+        )
+        return dedup.find_contamination(
+            docs, probes, num_hashes=32, bands=8, n=2, threshold=0.8
+        ).select("doc_id", "probe_id", F.round("jaccard", 6).alias("jaccard"))
+
+    q["contamination_pairs"] = _contamination
     # ^ full oracle: candidates are exact-jaccard verified, and on this
     # corpus the banding recall is 1 (measured: 25/25 true pairs at
     # sf0.01), so the result EQUALS the all-pairs >=threshold set the
@@ -1365,6 +1379,17 @@ GROUP BY b.doc_id
             "SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),
         "dedup_kept_ids": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "contamination_pairs": f"""
+WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents),
+c AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+p AS (SELECT doc_id AS probe_id, grams FROM c WHERE doc_id % 97 = 0)
+SELECT c.doc_id, p.probe_id,
+       round(len(list_filter(c.grams, x -> list_contains(p.grams, x)))::DOUBLE
+             / len(list_distinct(list_concat(c.grams, p.grams))), 6) AS jaccard
+FROM c JOIN p ON TRUE
+WHERE len(list_filter(c.grams, x -> list_contains(p.grams, x)))::DOUBLE
+      / len(list_distinct(list_concat(c.grams, p.grams))) >= 0.8
+""",
         "minhash_near_dups": f"""
 WITH g AS (SELECT doc_id, {bigrams} AS grams FROM documents),
 ne AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0)

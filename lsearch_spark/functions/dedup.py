@@ -149,6 +149,74 @@ def minhash_lsh_pairs(
     )
 
 
+def find_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: corpus docs whose exact n-gram
+    Jaccard with an eval probe >= threshold. Returns DataFrame(doc_id,
+    probe_id, jaccard).
+
+    Cross-table twin of minhash_lsh_pairs: both sides get the same
+    grams+signature relation, but candidates come from an equi-join of
+    the CORPUS banded relation against the PROBES banded relation — the
+    probes side (an eval set: thousands of rows, not billions) is
+    broadcast, so the corpus is scanned once, there is NO self-join and
+    no max_bucket concern, and the only shuffle is the final verify
+    join keyed by candidate ids. Identical texts share every band, so
+    exact contamination (jaccard 1) is found with certainty; 0.8+ pairs
+    at the default 64/16 banding are missed with probability
+    (1 - s^4)^16 < 3e-4."""
+    def _base(df, idc, txc, idname):
+        return df.select(
+            F.col(idc).alias(idname),
+            ngram_set(txc, n).alias(f"{idname}_g"),
+            minhash_signature(txc, num_hashes, n).alias("sig"),
+        ).filter(F.size(f"{idname}_g") > 0)
+
+    r = num_hashes // bands
+
+    def _banded(base, idname):
+        return base.select(
+            idname,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    cbase = _base(corpus, id_col, text_col, "doc_id")
+    pbase = _base(probes, probe_id_col, probe_text_col, "probe_id")
+    cand = (
+        _banded(cbase, "doc_id")
+        .join(F.broadcast(_banded(pbase, "probe_id")), ["band", "band_hash"])
+        .select("doc_id", "probe_id")
+        .distinct()
+    )
+    return (
+        cand.join(cbase.select("doc_id", "doc_id_g"), "doc_id")
+        .join(F.broadcast(pbase.select("probe_id", "probe_id_g")), "probe_id")
+        .select(
+            "doc_id",
+            "probe_id",
+            jaccard(F.col("doc_id_g"), F.col("probe_id_g")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------------------------ simhash
 def simhash64(text: Column | str = "text") -> Column:
     """64-bit SimHash of the token stream (tf-weighted), single-pass:

@@ -318,6 +318,39 @@ def test_exact_dedup(spark, pages):
     assert kept.count() == pages.count() - 1
 
 
+def test_find_contamination(spark, pages):
+    from lsearch_spark.tokenize import py_tokenize
+
+    # probes: 3 exact corpus texts + 1 novel text
+    probe_rows = [(100 + i, r["text"]) for i, r in enumerate(
+        pages.filter(F.col("doc_id").isin([5, 17, 40])).select("text").collect())]
+    probe_rows.append((999, "entirely novel probe text that matches nothing in the corpus at all"))
+    probes = spark.createDataFrame(probe_rows, "probe_id long, text string")
+    got = dedup.find_contamination(pages, probes, threshold=0.8).collect()
+    pairs = {(r["doc_id"], r["probe_id"]): r["jaccard"] for r in got}
+    # python twin: all-pairs exact trigram jaccard >= 0.8
+    def grams(t):
+        toks = py_tokenize(t)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    corpus = [(r["doc_id"], grams(r["text"])) for r in pages.select("doc_id", "text").collect()]
+    want = {}
+    for pid, ptxt in probe_rows:
+        pg = grams(ptxt)
+        if not pg:
+            continue
+        for did, dg in corpus:
+            if not dg:
+                continue
+            j = len(pg & dg) / len(pg | dg)
+            if j >= 0.8:
+                want[(did, pid)] = j
+    assert set(pairs) == set(want)
+    for k, j in want.items():
+        assert abs(pairs[k] - j) < 1e-9
+    assert all(pid != 999 for _, pid in pairs)  # the novel probe matches nothing
+    assert len(pairs) >= 3  # each exact probe found its source doc
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
