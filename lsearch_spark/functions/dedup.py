@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenize import tokens_col
+from .util import bind
 
 
 # ------------------------------------------------------------------- exact
@@ -38,12 +39,23 @@ def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 # ----------------------------------------------------------------- shingles
 def ngram_set(text: Column | str = "text", n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized token stream (JVM-side)."""
-    toks = tokens_col(text)
-    size_ok = F.size(toks) >= n
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(size_ok, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    """Distinct word n-grams of the normalized token stream (JVM-side).
+    The token array is BOUND once (util.bind): referencing the
+    tokenization from inside the gram lambda would re-run it per gram
+    — O(len^2) per doc, the difference between seconds and never at
+    600k docs."""
+    return bind(
+        tokens_col(text),
+        lambda ts: F.when(
+            F.size(ts) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -64,11 +76,15 @@ def consecutive_jaccard(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 def minhash_signature(text: Column | str = "text", num_hashes: int = 64, n: int = 3) -> Column:
     """array<long> of length num_hashes: min over shingles of
     xxhash64(seed, shingle). Single nested-transform expression —
-    one JVM pass, no Python. Empty shingle set -> nulls."""
-    grams = ngram_set(text, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(s, g))),
+    one JVM pass, no Python. Empty shingle set -> nulls. The gram set
+    is BOUND once (util.bind): referencing it from the per-seed lambda
+    would rebuild the shingles num_hashes times per doc."""
+    return bind(
+        ngram_set(text, n),
+        lambda gs: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(F.transform(gs, lambda g: F.xxhash64(s, g))),
+        ),
     )
 
 
@@ -226,10 +242,6 @@ def simhash64(text: Column | str = "text") -> Column:
     Each token is hashed once (round 1 ran 64 separate aggregate passes,
     re-hashing every token per bit: measured 3.3x slower warm, with a
     64x larger codegen tree). Still zero Python in the hot path."""
-    toks = tokens_col(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
-
     def bits_of(h: Column) -> Column:
         # call_function: the SQL shiftrightunsigned accepts a column shift
         # amount (the classic pyspark wrapper is literal-int only)
@@ -238,19 +250,27 @@ def simhash64(text: Column | str = "text") -> Column:
             lambda j: F.call_function("shiftrightunsigned", h, j).bitwiseAND(F.lit(1)).cast("long"),
         )
 
-    counts = F.aggregate(hashes, zeros, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b))
-    n = F.size(toks)
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, j: F.when(c * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
+    def _sig(ts: Column) -> Column:
+        # ts is a BOUND lambda variable (util.bind): the bit-vote lambda
+        # below references n = size(ts) per element, which unbound would
+        # re-tokenize the text 64 times per row
+        hashes = F.transform(ts, lambda t: F.xxhash64(t))
+        zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+        counts = F.aggregate(hashes, zeros, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b))
+        n = F.size(ts)
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda c, j: F.when(c * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), j)).otherwise(
+                    F.lit(0).cast("long")
+                ),
             ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
+
+    return bind(tokens_col(text), _sig)
 
 
 def hamming64(a: Column, b: Column) -> Column:

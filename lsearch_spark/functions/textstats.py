@@ -11,6 +11,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..tokenize import tokens_col
+from .util import bind
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
@@ -47,11 +48,21 @@ def punct_ratio(text: Column | str = "text") -> Column:
 
 
 def stopword_ratio(text: Column | str = "text", lang: str = "en") -> Column:
-    """Fraction of tokens that are stopwords of `lang`."""
-    toks = _toks(text)
+    """Fraction of tokens that are stopwords of `lang`. Tokens bound
+    once (three unbound references tokenize three times per row)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0)).cast("double")
+    # nested bind: the stopword array referenced from the per-token
+    # filter lambda would otherwise be re-built once per token
+    return bind(
+        _toks(text),
+        lambda ts: bind(
+            sw,
+            lambda s2: F.when(
+                F.size(ts) > 0,
+                F.size(F.filter(ts, lambda t: F.array_contains(s2, t))) / F.size(ts),
+            ).otherwise(F.lit(0.0)),
+        ),
+    ).cast("double")
 
 
 def quality_score(text: Column | str = "text") -> Column:
@@ -72,78 +83,93 @@ def quality_score(text: Column | str = "text") -> Column:
 
 def lang_id(text: Column | str = "text") -> Column:
     """Stopword-overlap language guess over {en,de,fr,es}; 'und' when no
-    stopword of any set occurs. Ties break by fixed order en,de,fr,es."""
-    toks = F.array_distinct(_toks(text))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
-        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    stopword of any set occurs. Ties break by fixed order en,de,fr,es.
+    The distinct token set is bound once — the score of every language
+    references it, so unbound it would tokenize ~9x per row."""
+
+    def _pick(ts: Column) -> Column:
+        scores = {
+            lang: F.size(F.array_intersect(ts, F.array(*[F.lit(w) for w in words])))
+            for lang, words in STOPWORDS.items()
+        }
+        best = F.greatest(*scores.values())
+        out = F.lit("und")
+        for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+            out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    return bind(F.array_distinct(_toks(text)), _pick)
 
 
 def _ngram_list(toks: Column, n: int) -> Column:
     """NON-distinct n-gram strings (dedup.ngram_set's distinct twin):
-    repetition metrics need multiplicity."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    repetition metrics need multiplicity. Tokens BOUND once (util.bind)
+    — an unbound reference re-tokenizes per gram, O(len^2) per doc."""
+    return bind(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - n),
+                lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def mean_token_len(text: Column | str = "text") -> Column:
     """Mean token length in chars (0.0 for token-less docs) — the
     Gopher-style 'mean word length' signal (healthy prose ~3-10)."""
-    toks = _toks(text)
-    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    return (
-        F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0)).cast("double")
-    )
+    return bind(
+        _toks(text),
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            F.aggregate(ts, F.lit(0), lambda a, t: a + F.length(t)) / F.size(ts),
+        ).otherwise(F.lit(0.0)),
+    ).cast("double")
 
 
 def dup_ngram_frac(text: Column | str = "text", n: int = 3) -> Column:
     """Fraction of n-grams that are repeats of an earlier-seen gram
     ((total - distinct) / total; 0.0 when no n-grams) — the Gopher-style
-    duplicate-n-gram repetition signal. Pure Catalyst array ops."""
-    grams = _ngram_list(_toks(text), n)
-    tot = F.size(grams)
-    return (
-        F.when(tot > 0, (tot - F.size(F.array_distinct(grams))) / tot)
-        .otherwise(F.lit(0.0))
-        .cast("double")
-    )
+    duplicate-n-gram repetition signal. Pure Catalyst array ops; the
+    gram list is BOUND once (three unbound references would build it
+    three times per row)."""
+    return bind(
+        _ngram_list(_toks(text), n),
+        lambda gs: F.when(
+            F.size(gs) > 0,
+            (F.size(gs) - F.size(F.array_distinct(gs))) / F.size(gs),
+        ).otherwise(F.lit(0.0)),
+    ).cast("double")
 
 
 def top_ngram_frac(text: Column | str = "text", n: int = 2) -> Column:
     """Occurrences of the single most frequent n-gram / total n-grams
     (0.0 when no n-grams) — the Gopher-style top-n-gram dominance
-    signal. JVM-side O(t log t): sort the gram list, fold the longest
-    equal run with an aggregate() accumulator — no per-row loop in
-    Python, no explode/shuffle."""
-    grams = F.array_sort(_ngram_list(_toks(text), n))
-    tot = F.size(grams)
-    run_best = F.aggregate(
-        grams,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    return F.when(tot > 0, run_best / tot).otherwise(F.lit(0.0)).cast("double")
+    signal. JVM-side O(t log t): sort the gram list (bound once), fold
+    the longest equal run with an aggregate() accumulator — no per-row
+    loop in Python, no explode/shuffle."""
+
+    def _fold(gs: Column) -> Column:
+        run_best = F.aggregate(
+            gs,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return F.when(F.size(gs) > 0, run_best / F.size(gs)).otherwise(F.lit(0.0))
+
+    return bind(F.array_sort(_ngram_list(_toks(text), n)), _fold).cast("double")
 
 
 # PII patterns, deliberately in the Java-regex ∩ RE2 common subset so

@@ -67,18 +67,27 @@ def stratified_sample(
     — the property that makes a 10^12-doc sampling job resumable and
     its output reproducible. Strata absent from `rates` are dropped
     (rate 0). Rates are clamped to [0, 1]."""
-    thr = F.create_map(
-        *[
-            x
-            for k, r in sorted(rates.items())
-            for x in (
-                F.lit(k),
-                F.lit(int(round(max(0.0, min(1.0, r)) * SAMPLE_RESOLUTION))),
-            )
-        ]
-    )
     h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(SAMPLE_RESOLUTION))
-    return df.filter(h < F.coalesce(thr[F.col(key)], F.lit(0)))
+    thresholds = {
+        k: int(round(max(0.0, min(1.0, r)) * SAMPLE_RESOLUTION))
+        for k, r in rates.items()
+    }
+    if len(thresholds) <= 64:
+        thr = F.create_map(
+            *[x for k, t in sorted(thresholds.items()) for x in (F.lit(k), F.lit(t))]
+        )
+        return df.filter(h < F.coalesce(thr[F.col(key)], F.lit(0)))
+    # high-cardinality strata (per-host rates over a web corpus can be
+    # millions of keys): a literal map would explode the plan, so ship
+    # the thresholds as a broadcast-joined relation instead
+    tdf = df.sparkSession.createDataFrame(
+        sorted(thresholds.items()), f"{key} string, _thr long"
+    )
+    return (
+        df.join(F.broadcast(tdf), key)  # inner join: absent strata drop (rate 0)
+        .filter(h < F.col("_thr"))
+        .drop("_thr")
+    )
 
 
 def plan_mixture(

@@ -1984,12 +1984,21 @@ def phrase_search(
             candpos = F.array_intersect(F.transform(candpos, lambda x: x + 1), F.col(colof[t]))
         else:
             # factory call binds prev per iteration; the inner lambdas
-            # must stay single-argument (pyspark HOFs dispatch on arity)
+            # must stay single-argument (pyspark HOFs dispatch on arity).
+            # prev is BOUND via util.bind: for 3+-term phrases it is
+            # itself a filter(exists(...)) expression, and an unbound
+            # reference from inside exists() would re-evaluate the whole
+            # previous fold once per candidate position
+            from .functions.util import bind as _bind
+
             def _window(prev, nxt):
-                return F.filter(
-                    nxt,
-                    lambda p: F.exists(
-                        prev, lambda c: (p - c >= 1) & (p - c <= slop + 1)
+                return _bind(
+                    prev,
+                    lambda pv: F.filter(
+                        nxt,
+                        lambda p: F.exists(
+                            pv, lambda c: (p - c >= 1) & (p - c <= slop + 1)
+                        ),
                     ),
                 )
 
