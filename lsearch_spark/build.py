@@ -619,7 +619,26 @@ def _impact_ladders(postings: DataFrame) -> DataFrame:
     return per_salt.groupBy("term").agg(F.collect_list("salt_ladder").alias("impact_ladder"))
 
 
-def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
+def _cpu_timed(gen_fn, acc):
+    """Wrap a mapInArrow/mapInPandas feed so each task adds its
+    process-CPU seconds to `acc` (a SparkContext accumulator, summed on
+    task completion). build_metrics stores the stage's task-CPU next to
+    its wall so a driver-session bench can attribute a slow stage to
+    compute vs transfer/wait without the Spark UI."""
+    if acc is None:
+        return gen_fn
+
+    def timed(batches):
+        t0 = time.process_time()
+        try:
+            yield from gen_fn(batches)
+        finally:
+            acc.add(time.process_time() - t0)
+
+    return timed
+
+
+def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int, cpu_acc=None):
     """Parquet-mode feed for the flat kernel: python tasks open the docs
     parquet files THEMSELVES (pyarrow) instead of being fed the token
     stream over the JVM->Python Arrow socket.
@@ -670,7 +689,7 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int):
                 for b in it:
                     yield from kern([b])
 
-    return units.mapInArrow(feed, FLAT_SCHEMA)
+    return units.mapInArrow(_cpu_timed(feed, cpu_acc), FLAT_SCHEMA)
 
 
 def _direct_read_units(spark: SparkSession, table_dir: str) -> DataFrame | None:
@@ -718,7 +737,9 @@ def _direct_read_units(spark: SparkSession, table_dir: str) -> DataFrame | None:
 DOCS_SCHEMA = "doc_id long, url string, warc_ts timestamp, lang string, tokens array<string>"
 
 
-def _extract_direct_scan(spark: SparkSession, pages_dir: str, from_html: bool) -> DataFrame | None:
+def _extract_direct_scan(
+    spark: SparkSession, pages_dir: str, from_html: bool, cpu_acc=None
+) -> DataFrame | None:
     """Direct-read feed for the EXTRACT stage (build_index called with a
     parquet PATH instead of a DataFrame — the opt-in that guarantees the
     input really is a bare scan): python tasks open the pages parquet
@@ -810,20 +831,23 @@ def _extract_direct_scan(spark: SparkSession, pages_dir: str, from_html: bool) -
                         }
                     )
 
-    return units.mapInPandas(feed, DOCS_SCHEMA)
+    return units.mapInPandas(_cpu_timed(feed, cpu_acc), DOCS_SCHEMA)
 
 
-def _extracted_docs(spark: SparkSession, pages: DataFrame | str, from_html: bool) -> DataFrame:
+def _extracted_docs(
+    spark: SparkSession, pages: DataFrame | str, from_html: bool, cpu_acc=None
+) -> tuple[DataFrame, str]:
     """The docs projection (doc_id, url, warc_ts, lang, tokens) from a
-    pages input. A bare parquet DIRECTORY takes the python direct-read
-    feed (fat html/text columns never transit the Arrow socket); a
-    DataFrame — or a path the feed can't serve — takes the JVM
-    Arrow-UDF plan. Byte-identical either way (test-pinned:
+    pages input, plus the feed that served it ("direct" | "jvm-socket").
+    A bare parquet DIRECTORY takes the python direct-read feed (fat
+    html/text columns never transit the Arrow socket); a DataFrame — or
+    a path the feed can't serve — takes the JVM Arrow-UDF plan.
+    Byte-identical either way (test-pinned:
     test_build_from_path_equals_build_from_dataframe)."""
     if isinstance(pages, str):
-        dt = _extract_direct_scan(spark, pages, from_html)
+        dt = _extract_direct_scan(spark, pages, from_html, cpu_acc=cpu_acc)
         if dt is not None:
-            return dt
+            return dt, "direct"
         pages = spark.read.parquet(pages)
     has_doc_id = "doc_id" in pages.columns
     base = pages.withColumn(
@@ -836,7 +860,10 @@ def _extracted_docs(spark: SparkSession, pages: DataFrame | str, from_html: bool
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
     text = extracted_text_col() if from_html else F.col("text")
-    return base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens"))
+    return (
+        base.select("doc_id", "url", "warc_ts", "lang", tokens_col(text).alias("tokens")),
+        "jvm-socket",
+    )
 
 
 def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
@@ -945,13 +972,16 @@ def build_index(
             fsio.remove(wh.manifest_path(later))
         return True
 
-    def finish(stage, t0, rows):
+    def finish(stage, t0, rows, **extra):
+        # extra (feed kind, summed task-CPU seconds, ...) rides in the
+        # stage manifest — a json file, so new evidence fields never
+        # perturb the parquet build_metrics schema older rounds wrote
         wall = (time.time() - t0) * 1000
         _write_metrics(spark, wh, run_id, stage, rows, wall, input_id)
         wh.write_manifest(
             stage,
             {"run_id": run_id, "stage": stage, "input_id": input_id, "fingerprint": fingerprint,
-             "ok": True, "wall_ms": wall, "n_rows": sum(r[1] for r in rows)},
+             "ok": True, "wall_ms": wall, "n_rows": sum(r[1] for r in rows), **extra},
         )
 
     # ---- stage: extract ----------------------------------------------------
@@ -963,14 +993,18 @@ def build_index(
     # projection (observe aggregates run over the produced rows).
     if stage_runs("extract"):
         t0 = time.time()
-        dt = _extracted_docs(spark, pages, from_html)
+        extract_cpu = spark.sparkContext.accumulator(0.0)
+        dt, extract_feed = _extracted_docs(spark, pages, from_html, cpu_acc=extract_cpu)
         dt, obs = _observed(dt, "extract", F.sum(F.size("tokens")).alias("total_tokens"))
         catalog.write_table(spark, dt, wh.root, "docs")
         # corpus stats fall out of the same observation — no extra job
         n_docs = int(obs.get["n_rows"])
         total_tokens = int(obs.get["total_tokens"] or 0)
         _write_corpus_stats(wh, n_docs, total_tokens)
-        finish("extract", t0, [(-1, n_docs, None)])
+        finish(
+            "extract", t0, [(-1, n_docs, None)],
+            feed=extract_feed, task_cpu_s=round(extract_cpu.value, 3),
+        )
 
     docs_text = catalog.read_table(spark, wh.root, "docs")
 
@@ -1006,8 +1040,10 @@ def build_index(
         # waves smooth skew: 48x2MB 7.3s consistent). Target ~3 tasks
         # per core, bounded [2MB, 32MB].
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        flat_cpu = spark.sparkContext.accumulator(0.0)
         try:
-            flat_raw = _flat_direct_scan(spark, wh.path("docs"), block_size)
+            flat_raw = _flat_direct_scan(spark, wh.path("docs"), block_size, cpu_acc=flat_cpu)
+            flat_feed = "direct" if flat_raw is not None else "jvm-socket"
             if flat_raw is None:  # Iceberg / scheme'd path / no listing
                 try:
                     docs_bytes = sum(
@@ -1019,7 +1055,9 @@ def build_index(
                 mpb = min(32 << 20, max(2 << 20, docs_bytes // (3 * par))) if docs_bytes else 4 << 20
                 spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(mpb)))
                 docs_in = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
-                flat_raw = docs_in.mapInArrow(_make_flat_mapper(block_size), FLAT_SCHEMA)
+                flat_raw = docs_in.mapInArrow(
+                    _cpu_timed(_make_flat_mapper(block_size), flat_cpu), FLAT_SCHEMA
+                )
             flat = flat_raw.withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
@@ -1030,7 +1068,10 @@ def build_index(
             catalog.write_table(spark, flat, wh.root, "postings_flat")
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-        finish("flat", t0, [(-1, obs.get["n_rows"], None)])
+        finish(
+            "flat", t0, [(-1, obs.get["n_rows"], None)],
+            feed=flat_feed, task_cpu_s=round(flat_cpu.value, 3),
+        )
 
     flat = catalog.read_table(spark, wh.root, "postings_flat")
 
@@ -1308,7 +1349,7 @@ def append_index(
 
     # ---- stage: segment docs (extract+tokenize the new pages once) ----
     # pages may be a parquet dir: same direct-read feed as build_index
-    dt = _extracted_docs(spark, pages, from_html)
+    dt, _ = _extracted_docs(spark, pages, from_html)
     dt, obs = _observed(dt, f"append{append_no}", F.sum(F.size("tokens")).alias("total_tokens"))
     dt.write.mode("overwrite").parquet(segp("docs"))
     n_new, tok_new = int(obs.get["n_rows"]), int(obs.get["total_tokens"] or 0)

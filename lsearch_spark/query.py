@@ -399,6 +399,17 @@ def _neg_docs(spark, wh, st, neg: list[str]) -> DataFrame | None:
 # LEFT ANTI is the plan that fits executor/driver memory.
 _NEG_DOCSET_MAX_POSTINGS = 8_000_000
 
+# batch_search route-out gate: pulling a stopword-heavy query OUT of the
+# shared scan adds one search() plan subtree to the single action —
+# roughly a per-stage scheduler round trip plus its own pruned decode.
+# Expressed in decoded-block units (the currency the estimators speak):
+# the exhaustive "the" scan decodes ~4,700 blocks in ~0.7 s at 600k docs
+# => ~7k blocks/s, and the extra subtree costs ~0.3 s ≈ 2k blocks. A
+# query is routed out only when the shared scan is estimated to shrink
+# by MORE than the query's own pruned cost plus this constant, so the
+# decision is robust to the constant within a few x either way.
+_ROUTE_OUT_BLOCK_COST = 2_048
+
 
 def _ids_per_term(spark, wh, st, terms: list[str]) -> dict[str, np.ndarray]:
     """Driver-decoded doc_id sets, one SORTED np.int64 array per term:
@@ -916,10 +927,12 @@ def search(
     mode="and" prunes too, via two exact plans chosen by shape: a
     candidate-driven range semi-join seeded by the rarest term
     (selective conjunctions, O(df_rare)) or a conjunctive probe tau +
-    block-max filter (stopword conjunctions). The planner degrades to
-    the single-job exhaustive scan only where no sound plan exists
-    (AND+neg / neg+less combined, probe-not-worth-it shapes) or stats
-    are missing (pre-v2 indexes).
+    block-max filter (stopword conjunctions). AND+neg prunes through
+    the candidate-driven plan too (every conjunctive match carries an
+    exact score before the exclusion applies — no verification needed);
+    shapes that miss its selectivity gate stay exhaustive, as do
+    AND+less / neg+less combined and probe-not-worth-it shapes, or when
+    stats are missing (pre-v2 indexes).
 
     probe governs the tau-refinement job for disjunctive multi-stopword
     shapes ("of and"): "auto" (default) runs it only when the estimated
@@ -1125,7 +1138,7 @@ def search(
                 # WHAT the cost-based planner decided and on what numbers)
                 _stats["plan"] = ("routed+probe" if probed else "routed") if pruned else "exhaustive"
                 _stats["est_kept_blocks"] = est_kept
-    elif prune and mode == "and" and len(live) >= 2 and not neg and not live_less:
+    elif prune and mode == "and" and len(live) >= 2 and not live_less:
         # Conjunctive pruning (VERDICT r4 #7), two exact plans by shape:
         #
         # 1. CANDIDATE-DRIVEN (selective AND, 'w0003 the'): the rarest
@@ -1143,15 +1156,25 @@ def search(
         #    or ranks below the >= k exact docs. Unlike negation, tau's
         #    validity is a-priori — no verify-and-fallback needed.
         #
-        # AND+neg and AND+less stay exhaustive (still single-job):
-        # compounding the corrections complicates both proofs for rare
-        # query shapes. Single-term AND == OR and is handled above.
+        # AND+neg composes with plan 1 ONLY (VERDICT r5 #6): the
+        # candidate-driven plan enumerates EVERY conjunctive match with
+        # a complete, exact score (each term's blocks that can contain a
+        # rare-term id survive the range semi-join), so dropping excluded
+        # docs afterwards — kernel docset, range-anti, or anti-join,
+        # whichever the exclusion planner picked — leaves every survivor
+        # exact and removes nothing that belongs: exact with NO tau and
+        # no verification step. Plan 2's tau is a-priori valid only for
+        # the UNfiltered conjunctive k-th best, so AND+neg shapes that
+        # miss plan 1's selectivity gate stay exhaustive, as does
+        # AND+less. Single-term AND == OR and is handled above.
         and_blocks = _and_candidate_blocks(spark, wh, st, live, dfs)
         if and_blocks is not None:
             blocks = and_blocks
             pruned = True
             if _stats is not None:
-                _stats["plan"] = "and-candidate"
+                _stats["plan"] = "and-candidate+neg" if neg else "and-candidate"
+        elif neg:
+            pass  # probe-tau plan is unsound under exclusion: exhaustive
         else:
             bstats = _term_block_stats(spark, st, wh, live)
             ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
@@ -1304,6 +1327,22 @@ def batch_search(
     planner falls back to the plain exhaustive scan when the ladder
     estimators show the thetas keep most blocks anyway.
 
+    ROUTE-OUT (VERDICT r5 #3): the theta union means ONE stopword-heavy
+    or unprunable query drags the shared scan toward exhaustive for
+    every query ("the -biology" anchors theta["the"] at -inf and the
+    whole 25-query reference batch decodes the stopword in full — the
+    r5 758 ms/query regression). The planner therefore estimates, per
+    query, its own single-query pruned cost (est_own, the blocks
+    search()'s WAND would decode — for '-neg' queries at the deepened
+    k_eff search() uses) against its marginal cost on the shared scan,
+    and greedily pulls out queries whose removal saves more than
+    est_own + _ROUTE_OUT_BLOCK_COST. Routed queries score through
+    search() (pruned, per-query-exact, including its a-posteriori neg
+    verification) and union back into the same result; queries whose
+    terms then vanish from the shared scan stop being decoded at all.
+    neg+less queries are never routed (no in-batch cost estimate for
+    the compound shape) and anchor the shared scan as before.
+
     '-term' exclusions are supported two ways, gated on the union of
     excluded terms' total df: under _NEG_DOCSET_MAX_POSTINGS the
     per-term id arrays are driver-decoded ONCE (cache shared with
@@ -1357,11 +1396,6 @@ def batch_search(
         return empty
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
-    pairs = [(qid, t, len([x for x in ts if x in dfs])) for qid, ts in qmap.items() for t in ts if t in dfs]
-    if not pairs:
-        return empty
-    qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
-
     within_docs = None
     if within is not None:
         if isinstance(within, str):
@@ -1373,51 +1407,179 @@ def batch_search(
         else:
             within_docs = within.select("doc_id")
 
-    blocks = _postings_for(spark, wh, st, live)
+    # ---- per-query WAND thetas + route-out decision -------------------
+    # The shared scan decodes each term ONCE under the union (min) of
+    # every query's theta, so one stopword-heavy query drags the scan
+    # toward exhaustive for EVERY query (BENCH_r05: the full 25-query
+    # reference set ran 758 ms/query batched while the same queries run
+    # ~0.5 s each interactively under per-query WAND). Estimate, per
+    # prunable query, (a) est_own — blocks its OWN single-query WAND
+    # would decode via search() — and (b) its marginal cost on the
+    # shared scan (extra blocks the union decodes because its thetas
+    # are the min). Greedily route out the query with the largest net
+    # saving until none clears the fixed cost of an extra plan subtree;
+    # routed queries score through search() (pruned, single-query-exact)
+    # and union back in — still ONE action, per-query top-k unchanged.
     plan, blocks_total = "exhaustive", None
+    theta_map: dict[str, dict[str, float] | None] = {}
+    est_own: dict[str, float] = {}
+    bstats = None
+    imp: set = set()
     if prune and mode == "or" and within_docs is None:
         bstats = _term_block_stats(spark, st, wh, live)
-        if all(t in bstats for t in live):
-            ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
-            bsz = int(st["cfg"].get("block_size") or 128)
-            ninf = float("-inf")
-            theta_u: dict[str, float] = {}
-            live_less_all = [t for t in all_less if t in dfs]
-            bless = _term_block_stats(spark, st, wh, live_less_all) if live_less_all else {}
+        if not all(t in bstats for t in live):
+            bstats = None
+    if bstats is not None:
+        ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
+        bsz = int(st["cfg"].get("block_size") or 128)
+        imp = _impact_terms(spark, st, wh)
+        live_less_all = [t for t in all_less if t in dfs]
+        bless = _term_block_stats(spark, st, wh, live_less_all) if live_less_all else {}
+        for qid, ts in qmap.items():
+            lq = [t for t in ts if t in dfs]
+            if not lq:
+                continue
+            thetas = None
+            route_thetas = None
+            lless = [t for t in qless[qid] if t in dfs]
+            if not qneg[qid]:
+                idf_q = {t: idf_map[t] for t in lq}
+                thetas, _tau = _wand_thetas(lq, idf_q, bstats, k, ratio, bsz)
+                if thetas is not None and lless:
+                    # same correction as search(): tau lower-bounds the
+                    # k-th best POSITIVE sum; each witness loses at most
+                    # sum(UB_less) to penalties, so tau - sum(UB_less)
+                    # lower-bounds the k-th best FINAL score
+                    if all(t in bless for t in lless):
+                        ubc = max(1.0, ratio)
+                        _tau -= sum(
+                            _idf(n_docs, dfs[t]) * bless[t]["ub_wand"] * ubc for t in lless
+                        )
+                        ub_pos = {t: idf_q[t] * bstats[t]["ub_wand"] * ubc for t in lq}
+                        thetas = _thetas_for_tau(lq, idf_q, ub_pos, sum(ub_pos.values()), _tau, ubc)
+                    else:
+                        thetas = None
+                route_thetas = thetas
+            elif not lless:
+                # '-neg' query: UNPRUNABLE in-batch (its shared-scan theta
+                # stays -inf — the shared scan has no batched analog of
+                # search()'s a-posteriori verification) but ROUTABLE:
+                # search() prunes it with the df-aware deeper tau + verify.
+                # One such query otherwise anchors its positive terms at
+                # full decode for the WHOLE batch ("the -biology" forces
+                # "the" exhaustive for all 25 reference queries — the r5
+                # 758 ms/query regression's root shape). Estimate its
+                # routed cost with the same k_eff deepening search() uses.
+                neg_rate = min(
+                    1.0 - 1e-9,
+                    sum(dfs.get(t) or 0 for t in qneg[qid]) / max(n_docs, 1),
+                )
+                keep = max(1.0 - neg_rate, 1e-9)
+                k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep)
+                idf_q = {t: idf_map[t] for t in lq}
+                route_thetas, _ = _wand_thetas(lq, idf_q, bstats, k_eff, ratio, bsz)
+            theta_map[qid] = thetas
+            if route_thetas is not None:
+                est_own[qid] = sum(
+                    _est_kept_blocks(bstats[t], route_thetas[t], t in imp) for t in lq
+                )
+
+    routed_out: list[str] = []
+    if bstats is not None and est_own:
+
+        def _shared_cost(excl: set) -> float:
+            """Estimated decode cost (blocks) of the shared scan over the
+            queries NOT in excl — modelling the SAME exhaustive-vs-routed
+            choice the downstream gate makes, so a route-out only counts
+            as saving when the executed plan actually shrinks. (The r5
+            regression's shape: removing 'the -biology' doesn't help
+            while another query still holds 'the' in an exhaustive scan.)"""
+            th: dict[str, float] = {}
             for qid, ts in qmap.items():
+                if qid in excl:
+                    continue
                 lq = [t for t in ts if t in dfs]
                 if not lq:
                     continue
-                thetas = None
-                lless = [t for t in qless[qid] if t in dfs]
-                if not qneg[qid]:
-                    idf_q = {t: idf_map[t] for t in lq}
-                    thetas, _tau = _wand_thetas(lq, idf_q, bstats, k, ratio, bsz)
-                    if thetas is not None and lless:
-                        # same correction as search(): tau lower-bounds the
-                        # k-th best POSITIVE sum; each witness loses at most
-                        # sum(UB_less) to penalties, so tau - sum(UB_less)
-                        # lower-bounds the k-th best FINAL score
-                        if all(t in bless for t in lless):
-                            ubc = max(1.0, ratio)
-                            _tau -= sum(
-                                _idf(n_docs, dfs[t]) * bless[t]["ub_wand"] * ubc for t in lless
-                            )
-                            ub_pos = {t: idf_q[t] * bstats[t]["ub_wand"] * ubc for t in lq}
-                            thetas = _thetas_for_tau(lq, idf_q, ub_pos, sum(ub_pos.values()), _tau, ubc)
-                        else:
-                            thetas = None
+                thetas = theta_map.get(qid)
                 for t in lq:
-                    theta_u[t] = min(theta_u.get(t, float("inf")),
-                                     thetas[t] if thetas is not None else ninf)
-            imp = _impact_terms(spark, st, wh)
-            est_kept = sum(_est_kept_blocks(bstats[t], theta_u[t], t in imp) for t in live)
-            blocks_total = sum(bstats[t]["n_blocks"] for t in live)
-            if est_kept < 0.6 * blocks_total:
-                blocks = _routed_blocks(st, live, theta_u, imp)
-                plan = "routed-batch"
+                    th[t] = min(
+                        th.get(t, float("inf")),
+                        thetas[t] if thetas is not None else float("-inf"),
+                    )
+            if not th:
+                return 0.0
+            est = sum(_est_kept_blocks(bstats[t], th[t], t in imp) for t in th)
+            tot = sum(bstats[t]["n_blocks"] for t in th)
+            return est if est < 0.6 * tot else tot
+
+        base = _shared_cost(set())
+        while True:
+            best, best_net = None, 0.0
+            for qid in est_own:
+                if qid in routed_out:
+                    continue
+                save = base - _shared_cost({*routed_out, qid})
+                net = save - est_own[qid] - _ROUTE_OUT_BLOCK_COST
+                if net > best_net:
+                    best, best_net = qid, net
+            if best is None:
+                break
+            routed_out.append(best)
+            base = _shared_cost(set(routed_out))
+
+    routed_df = None
+    if routed_out:
+        parts = []
+        for qid in routed_out:
+            qstr = " ".join(
+                qmap[qid]
+                + ["-" + t for t in qneg[qid]]
+                + ["~" + t for t in qless[qid]]
+            )
+            res = search(spark, wh, qstr, k=k, mode=mode, prune=True)
+            parts.append(res.select(F.lit(qid).alias("query_id"), "doc_id", "score"))
+            del qmap[qid], qneg[qid], qless[qid]
+        routed_df = parts[0]
+        for p in parts[1:]:
+            routed_df = routed_df.unionAll(p)
+        # the shared scan now covers only the remaining queries' terms —
+        # a stopword that appeared ONLY in routed queries drops out of
+        # the scan entirely (the whole point)
+        live = sorted({t for ts in qmap.values() for t in ts if t in dfs})
+
+    pairs = [(qid, t, len([x for x in ts if x in dfs])) for qid, ts in qmap.items() for t in ts if t in dfs]
+    if not pairs:
+        if _stats is not None:
+            _stats.update(
+                {"plan": f"routed-out:{len(routed_out)}", "blocks_total": blocks_total,
+                 "routed_out": list(routed_out)}
+            )
+        if routed_df is not None:
+            return routed_df.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        return empty
+    qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
+
+    blocks = _postings_for(spark, wh, st, live)
+    if bstats is not None and live:
+        theta_u: dict[str, float] = {}
+        for qid, ts in qmap.items():
+            thetas = theta_map.get(qid)
+            for t in ts:
+                if t in dfs:
+                    theta_u[t] = min(
+                        theta_u.get(t, float("inf")),
+                        thetas[t] if thetas is not None else float("-inf"),
+                    )
+        est_kept = sum(_est_kept_blocks(bstats[t], theta_u[t], t in imp) for t in live)
+        blocks_total = sum(bstats[t]["n_blocks"] for t in live)
+        if est_kept < 0.6 * blocks_total:
+            blocks = _routed_blocks(st, live, theta_u, imp)
+            plan = "routed-batch"
+    if routed_out:
+        plan = f"{plan}+routed-out:{len(routed_out)}"
     if _stats is not None:
-        _stats.update({"plan": plan, "blocks_total": blocks_total})
+        _stats.update({"plan": plan, "blocks_total": blocks_total, "routed_out": list(routed_out)})
         from pyspark.sql import Observation
 
         obs = Observation(f"bstats_{uuid.uuid4().hex[:12]}")
@@ -1508,12 +1670,14 @@ def batch_search(
     if within_docs is not None:
         agg = agg.join(within_docs, "doc_id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    out = (
         agg.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", "score")
-        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+    if routed_df is not None:
+        out = out.unionAll(routed_df)
+    return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
 
 # ----------------------------------------------------- query instrumentation

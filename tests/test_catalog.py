@@ -198,7 +198,12 @@ def _iceberg_jars() -> list[str]:
     )
 
 
-@__import__("pytest").mark.skipif(not _iceberg_jars(), reason="no iceberg-spark-runtime jar available (offline sandbox)")
+@__import__("pytest").mark.skipif(
+    not _iceberg_jars(),
+    reason="no iceberg-spark-runtime jar in pyspark's 286 jars, no ~/.m2/~/.ivy2 "
+    "cache, and no network to fetch one (see COVERAGE.md 'Real-Iceberg "
+    "integration status'); set LSEARCH_ICEBERG_JARS to run",
+)
 def test_real_iceberg_build_append_query(tmp_path):
     """Full build -> append -> BM25 query against a REAL Iceberg
     hadoop-type catalog (own SparkSession: catalog confs are

@@ -317,6 +317,65 @@ def test_batch_search_less_terms_match(spark, wh, pyidx):
             ), (prune, qid)
 
 
+def test_batch_search_route_out_matches_single(spark, wh, pyidx, monkeypatch):
+    """VERDICT r5 #3: stopword-heavy queries may be routed OUT of the
+    shared batch scan (scored through per-query search()'s WAND, unioned
+    back in). Force the gate both ways — everything routable routed
+    (negative subtree cost) and nothing routed (infinite cost) — and
+    require per-query exactness either way. A neg+less query is never
+    routable (no in-batch cost estimate exists for the compound shape),
+    so it pins the mixed shared+routed union path; a plain '-neg' query
+    IS routable (search() prunes it with the deeper tau + verify)."""
+    import lsearch_spark.query as Q
+
+    qs = {
+        "a": "the of",                 # stopword pair: a route-out target
+        "b": "biology",                # rare: stays cheap either way
+        "c": "the ~of",                # less-term: routable through search()
+        # neg with a RARE exclusion: the deeper tau is formable even at
+        # this tiny corpus, so the query is routable via search()
+        # ("-the"-style huge exclusions only form their tau at scale)
+        "d": "the -chemistry",
+        "e": "physics -the ~biology",  # neg+less: NOT routable, anchors shared
+    }
+    want = {qid: bm25_topk(pyidx, q, k=5) for qid, q in qs.items()}
+    for cost, expect_routed in ((-(10**9), True), (10**12, False)):
+        monkeypatch.setattr(Q, "_ROUTE_OUT_BLOCK_COST", cost)
+        st: dict = {}
+        got = Q.batch_search(spark, wh, qs, k=5, _stats=st).collect()
+        routed = st.get("routed_out", [])
+        assert (len(routed) > 0) == expect_routed, (cost, st)
+        if expect_routed:
+            assert "d" in routed and "e" not in routed, st
+        by_q: dict[str, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qid in qs:
+            assert_rank_identical(
+                [{"doc_id": d, "score": s} for d, s in by_q.get(qid, [])], want[qid]
+            ), (cost, qid)
+
+
+def test_batch_search_all_routed_out(spark, wh, pyidx, monkeypatch):
+    """Edge: every query routable and routed — the shared scan has no
+    queries left and the result is the pure union of search() subtrees."""
+    import lsearch_spark.query as Q
+
+    monkeypatch.setattr(Q, "_ROUTE_OUT_BLOCK_COST", -(10**9))
+    qs = {"a": "the of", "b": "the data"}
+    st: dict = {}
+    got = Q.batch_search(spark, wh, qs, k=5, _stats=st).collect()
+    assert len(st.get("routed_out", [])) >= 1
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = bm25_topk(pyidx, q, k=5)
+        assert_rank_identical(
+            [{"doc_id": d, "score": s} for d, s in by_q.get(qid, [])], want
+        )
+
+
 def test_batch_search_negation_and_pruned_match(spark, wh, pyidx):
     """VERDICT r3 #3: batch_search supports '-term' (per-query LEFT ANTI
     after the shared agg) and the pruned shared scan must equal the
@@ -828,6 +887,24 @@ def test_and_candidate_plan_engages(spark, wh, pyidx):
     assert info["plan"] == "and-candidate", info
     assert info["blocks_total"] and info["blocks_decoded"] < info["blocks_total"], info
     assert_rank_identical(rows, bm25_topk(pyidx, "tiebreak the", k=10, mode="and"))
+
+
+def test_and_candidate_plan_composes_with_negation(spark, wh, pyidx):
+    """VERDICT r5 #6: AND+neg prunes through the candidate-driven plan —
+    every conjunctive match carries an exact score before the exclusion
+    applies, so the composition needs no tau and no verification. Must
+    equal the exhaustive twin and the python oracle, and decode fewer
+    blocks than the candidate terms' total."""
+    from lsearch_spark.query import search, search_with_stats
+
+    for q in ("tiebreak the -chemistry", "tiebreak the -biology"):
+        rows, info = search_with_stats(spark, wh, q, k=10, mode="and")
+        assert info["plan"].startswith("and-candidate+neg"), (q, info)
+        assert info["blocks_total"] and info["blocks_decoded"] < info["blocks_total"], (q, info)
+        got_e = search(spark, wh, q, k=10, mode="and", prune=False).collect()
+        want = bm25_topk(pyidx, q, k=10, mode="and")
+        assert_rank_identical(rows, want), q
+        assert_rank_identical(got_e, want), q
 
 
 def test_and_probe_plan_prunes_stopword_pair(spark, wh, pyidx):
