@@ -215,14 +215,30 @@ def find_contamination(
 
     cbase = _base(corpus, id_col, text_col, "doc_id")
     pbase = _base(probes, probe_id_col, probe_text_col, "probe_id")
+    # candidates persist (they are O(band matches) — bounded by the probe
+    # set, NOT the corpus) because they feed two consumers below; without
+    # it the whole corpus-wide grams+minhash pass above would re-run for
+    # the verify join (measured: the verify side re-scanned 600k docs'
+    # n-grams for ~500 candidates — the banding pass ran twice)
+    from pyspark import StorageLevel
+
     cand = (
         _banded(cbase, "doc_id")
         .join(F.broadcast(_banded(pbase, "probe_id")), ["band", "band_hash"])
         .select("doc_id", "probe_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # verify-side grams come from a RAW re-scan semi-joined to the
+    # candidate ids — n-grams are recomputed for |candidates| docs only,
+    # never a second corpus-wide pass; the re-scan reads just (id, text)
+    cgrams = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi")
+        .select("doc_id", ngram_set("_t", n).alias("doc_id_g"))
     )
     return (
-        cand.join(cbase.select("doc_id", "doc_id_g"), "doc_id")
+        cand.join(cgrams, "doc_id")
         .join(F.broadcast(pbase.select("probe_id", "probe_id_g")), "probe_id")
         .select(
             "doc_id",

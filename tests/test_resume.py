@@ -39,12 +39,24 @@ def test_resume_skips_and_reproduces(spark, tmp_path):
 
 def test_metrics_logged_per_stage(spark, tmp_path):
     root = str(tmp_path / "wh")
-    build_index(spark, pages_df(spark, 50), root, n_buckets=2, block_size=16, input_id="c50")
+    wh = build_index(spark, pages_df(spark, 50), root, n_buckets=2, block_size=16, input_id="c50")
     metrics = spark.read.parquet(os.path.join(root, "build_metrics"))
     stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
     assert stages == {"extract", "flat", "term_stats", "blocks", "block_stats"}
     assert metrics.filter(F.col("n_rows") <= 0).count() == 0
     assert metrics.filter(F.col("input_lineage") != "c50").count() == 0
+    # feed attribution + summed python task-CPU (VERDICT r5 #4): the
+    # extract/flat manifests must say WHICH feed served them and how much
+    # worker CPU the stage consumed, so a bench snapshot self-attributes.
+    # A DataFrame input (pages_df) cannot be direct-read -> jvm-socket;
+    # flat reads the docs parquet the build itself wrote -> direct.
+    # task-CPU: the jvm-socket extract plan is pure Catalyst (tokenize is
+    # a JVM expression), so ZERO python task-CPU is its true value; the
+    # direct flat feed runs the python kernel and must report CPU.
+    assert wh.read_manifest("extract")["feed"] == "jvm-socket"
+    assert wh.read_manifest("extract")["task_cpu_s"] == 0.0
+    assert wh.read_manifest("flat")["feed"] == "direct"
+    assert wh.read_manifest("flat")["task_cpu_s"] > 0
 
 
 def test_rerun_appends_no_duplicate_stage_metrics(spark, tmp_path):
