@@ -1919,12 +1919,20 @@ def plan_summary(
         lines.append(f"  -{t}: bucket={buckets[t]} df={dfs.get(t, 0)} ({route})")
     if prune:
         live = [t for t in pos if t in dfs]
-        if mode == "and" and len(live) >= 2 and not neg and not less:
+        if mode == "and" and len(live) >= 2 and not less:
             rare = _and_candidate_rare(spark, wh, st, live, dfs)
             if rare is not None:
                 lines.append(
                     f"  AND: candidate-driven (seed={rare!r} df={dfs[rare]}; other terms' "
                     "blocks range-semi-joined vs seed ids before decode)"
+                    + (" composed with exclusion — exact scores precede the filter" if neg else "")
+                )
+            elif neg:
+                # probe tau is a-priori valid only for the UNfiltered
+                # conjunctive k-th best — mirror search(): exhaustive
+                lines.append(
+                    "  AND+neg: exhaustive (no candidate seed; the conjunctive "
+                    "probe tau is unsound under exclusion)"
                 )
             else:
                 lines.append(

@@ -746,6 +746,35 @@ def test_search_snippets_match_twin(spark, wh, pyidx, q, window):
         assert r["snippet"] == " ".join(toks[s - 1 : s - 1 + 2 * window + 1])
 
 
+def test_randomized_and_shapes_match_oracle(spark, wh, pyidx):
+    """Seeded random sweep over CONJUNCTIVE shapes (2-3 positive terms
+    from mixed df strata, optional '-term'): mode='and' search,
+    exhaustive AND pruned, must match the python oracle for every
+    sampled shape — the conjunctive planner routes each shape to
+    candidate-driven / probe-tau / exhaustive, now with the r6 neg
+    composition, and all routes must agree."""
+    rng = np.random.RandomState(20260818)
+    terms = sorted(pyidx.postings, key=lambda t: -len(pyidx.postings[t]))
+    hot, mid, rare = terms[:5], terms[5:50], terms[50:400]
+
+    def pick(pool):
+        return pool[int(rng.randint(len(pool)))]
+
+    queries = []
+    for _ in range(10):
+        pos = [pick((hot, mid, rare)[int(rng.randint(3))]) for _ in range(2 + int(rng.randint(2)))]
+        q = " ".join(dict.fromkeys(pos))
+        if rng.rand() < 0.4:
+            q += f" -{pick((hot, mid)[int(rng.randint(2))])}"
+        queries.append(q)
+
+    for q in queries:
+        want = bm25_topk(pyidx, q, k=7, mode="and")
+        for prune in (False, True):
+            got = search(spark, wh, q, k=7, mode="and", prune=prune).collect()
+            assert_rank_identical(got, want), (q, prune)
+
+
 def test_randomized_rewrite_shapes_match_oracle(spark, wh, pyidx):
     """Seeded random sweep over the query-REWRITE surfaces: wildcard
     stems, fuzzy stems (damaged vocabulary terms at distance 1/2), and
