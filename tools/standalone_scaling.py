@@ -179,7 +179,7 @@ class StandaloneCluster:
 
 
 def _submit_build(cluster_url: str, zip_path: str, job_path: str, corpus: str,
-                  total_cores: int, timeout: int = 900) -> tuple[float, str]:
+                  total_cores: int, timeout: int = 600) -> tuple[float, str]:
     """One spark-submit --py-files run; returns (build_seconds, top10_repr)."""
     spark_submit = shutil.which("spark-submit") or os.path.join(
         _pyspark_home(), "bin", "spark-submit"
@@ -221,10 +221,18 @@ def _submit_build(cluster_url: str, zip_path: str, job_path: str, corpus: str,
     return sec, top
 
 
-def run_standalone_scaling(n_docs: int = 200_000, reps: int = 2) -> dict:
+def run_standalone_scaling(
+    n_docs: int = 200_000, reps: int = 2, deadline_s: float = 480.0
+) -> dict:
     """Build at 1-executor (N) and 4-executor (4N) cluster sizes; returns
     {'docs_per_sec_1x', 'docs_per_sec_4x', 'efficiency', 'top10_identical',
-    'build_secs': {...}} — best-of-`reps`, sizes interleaved."""
+    'build_secs': {...}} — best-of-`reps`, sizes interleaved.
+
+    deadline_s bounds the whole measurement: later reps are skipped once
+    the deadline passes (each size always completes at least once). The
+    caller (bench.py, inside the driver's budget) must always reach its
+    final metric line — a throttle-phase 1-executor build can take 2-3x
+    its healthy wall, and four of those would otherwise stack up."""
     sys.path.insert(0, REPO)
     import bench  # reuses the deterministic tmpfs corpus cache
 
@@ -241,11 +249,14 @@ def run_standalone_scaling(n_docs: int = 200_000, reps: int = 2) -> dict:
     # this measurement carries its OWN same-moment memcpy probes — the
     # efficiency below is only meaningful against probe['eff_4_16']
     ctl_before = bench.memcpy_control()
+    t_start = time.time()
     best = {4: float("inf"), 16: float("inf")}
     allsecs: dict[int, list[float]] = {4: [], 16: []}
     tops: dict[int, str] = {}
     with StandaloneCluster(n_workers=4, cores_per_worker=4) as cl:
-        for _ in range(reps):
+        for rep in range(reps):
+            if rep > 0 and time.time() - t_start > deadline_s:
+                break  # both sizes already measured once; stay in budget
             for cores in (4, 16):
                 sec, top = _submit_build(cl.url, zip_path, job_path, corpus, cores)
                 allsecs[cores].append(round(sec, 3))
