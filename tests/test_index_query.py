@@ -1168,6 +1168,14 @@ def test_search_within_matches_oracle(spark, wh, pyidx):
     got = search(spark, wh, "biology chemistry", k=10, mode="and", within="lang = 'en'").collect()
     assert_rank_identical(got, want("biology chemistry", mode="and"))
 
+    # full composition: candidate-driven AND (r6 neg composition) + within
+    # + '-term' in one query — exclusion (anti) and docset (semi) both
+    # apply to the complete exact candidate scores, so the stack is exact
+    for q in ("tiebreak the -chemistry", "tiebreak the -biology"):
+        for prune in (True, False):
+            got = search(spark, wh, q, k=10, mode="and", prune=prune, within="lang = 'en'").collect()
+            assert_rank_identical(got, want(q, mode="and")), (q, prune)
+
     assert search(spark, wh, "the", k=5, within="lang = 'nolang'").count() == 0
 
 
