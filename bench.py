@@ -582,10 +582,14 @@ memory-bandwidth ceiling while the engine's own kernel scales near-
 linearly. On hardware where the bandwidth control reads ~1.0 (separate
 physical hosts), the same jobs track the kernel number. Read any
 individual standalone row against ITS OWN before/after memcpy probes
-(embedded in the row): the throttle phases swing within minutes, so a
-row taken mid-storm reads low together with its probes — the invariant
-across every observation is standalone_eff ~= same-moment bandwidth
-eff, never below it.
+(embedded in the row): when the probes agree, standalone_eff lands at
+that ceiling (healthy-phase r6 observation: 0.524 vs probe 0.526);
+when they DISAGREE the phase swung DURING the measurement and the
+interleaved best-of pair can land anywhere at or below the higher
+probe (observed: 0.258 between probes of 0.815 and 0.536 — the 1x and
+4x legs caught different phases). Disagreeing-probe rows are phase
+evidence, not engine evidence; the stable-probe observation is the
+engine's number.
 
 Scaling-efficiency reading (r5): the ENGINE-KERNEL control runs the
 extract feed's OWN code (pyarrow split read -> html strip -> arrow
