@@ -454,7 +454,11 @@ def main() -> None:
     # local-mode measurements. Never allowed to sink the bench: any
     # failure is recorded as a string and the metric line still prints.
     standalone = None
-    if sf >= 0.1 or os.environ.get("LSEARCH_BENCH_STANDALONE") == "1":
+    if health != "healthy" and os.environ.get("LSEARCH_BENCH_STANDALONE") != "1":
+        # a degraded-start session produces phase junk for this row and
+        # the extra ~5 min risks the driver's budget — skip, say why
+        standalone = {"error": f"skipped: pre-run health gate {health}"}
+    elif sf >= 0.1 or os.environ.get("LSEARCH_BENCH_STANDALONE") == "1":
         try:
             from tools.standalone_scaling import run_standalone_scaling
 

@@ -179,7 +179,7 @@ class StandaloneCluster:
 
 
 def _submit_build(cluster_url: str, zip_path: str, job_path: str, corpus: str,
-                  total_cores: int, timeout: int = 600) -> tuple[float, str]:
+                  total_cores: int, timeout: int = 420) -> tuple[float, str]:
     """One spark-submit --py-files run; returns (build_seconds, top10_repr)."""
     spark_submit = shutil.which("spark-submit") or os.path.join(
         _pyspark_home(), "bin", "spark-submit"
