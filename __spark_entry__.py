@@ -278,6 +278,49 @@ ORDER BY sum(CASE WHEN term = '{pos}' THEN c ELSE -c END) DESC, doc_id LIMIT 10
 """
 
 
+def _bm25_full_sql(
+    pos: list[str], neg: list[str], less: list[str], mode: str = "or"
+) -> str:
+    """General BM25 oracle: positive terms add, '~less' terms subtract
+    (never add candidates), '-neg' docs are excluded, mode='and'
+    requires all positive terms — the SQL twin of the full query
+    grammar, for the composed-shape entries (AND+less, neg+less)."""
+    toks = _toks_sql("text")
+    all_scored = ", ".join(f"'{t}'" for t in pos + less)
+    pos_list = ", ".join(f"'{t}'" for t in pos)
+    neg_list = ", ".join(f"'{t}'" for t in neg)
+    having = f"= {len(pos)}" if mode == "and" else "> 0"
+    neg_clause = (
+        f"WHERE doc_id NOT IN (SELECT doc_id FROM "
+        f"(SELECT doc_id, unnest({toks}) AS term FROM documents) WHERE term IN ({neg_list}))"
+        if neg
+        else ""
+    )
+    return f"""
+WITH dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+       WHERE term IN ({all_scored}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({pos_list}) THEN c ELSE -c END) AS raw
+  FROM contrib GROUP BY doc_id
+  HAVING sum(CASE WHEN term IN ({pos_list}) THEN 1 ELSE 0 END) {having}
+)
+SELECT doc_id, round(raw, 5) AS score FROM agg
+{neg_clause}
+ORDER BY raw DESC, doc_id LIMIT 10
+"""
+
+
 def _bm25_neg_sql(pos: str, neg: str) -> str:
     toks = _toks_sql("text")
     return f"""
@@ -415,6 +458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_stopword_pair_top10"] = lambda s, d: _bm25(s, d, "batch small", prune=True)
 
     q["bm25_less_top10"] = lambda s, d: _bm25(s, d, "data ~query")
+    # r7 composed pruned plans: AND+'~less' through the candidate-driven
+    # plan (exact positive scores + fully-decoded penalties, no tau) and
+    # neg+'~less' through the stacked deeper-tau/less-corrected pruned
+    # path (a-posteriori verified) — VERDICT r6 #5
+    q["bm25_and_less_top10"] = lambda s, d: _bm25(s, d, "dup batch ~small", mode="and", prune=True)
+    q["bm25_neg_less_top10"] = lambda s, d: _bm25(s, d, "data -query ~filter", prune=True)
 
     def _bm25_batch(s, d):
         from lsearch_spark.query import batch_search
@@ -768,20 +817,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(s, d).groupBy("event_type").agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
 
-    # The driver checks entries in registration order under a budget (round 5
-    # stopped at 50 of 64), so front-load the entries that have never received
-    # a driver-green CORRECTNESS row: the seven operators new in round 5, then
-    # the seven whose last driver row is from round 4. Everything else (all
-    # driver-green in round 5) follows in its original order.
+    # The driver checks entries in registration order under a budget (~50 of
+    # 66), so front-load: (1) the one row that came back RED in r6
+    # (source_doc_stats — now order-independent, must re-witness), (2) the
+    # two NEW r7 entries, (3) the 14 entries r6's rotation pushed out of the
+    # driver window (last driver-green row is r5). Everything else
+    # (driver-green in r6) follows in its original order — the rotation
+    # keeps every entry within at most one round of a driver witness.
     front = [
-        # never driver-checked (new in r5) + the r4 red-then-fixed media entry
-        "media_frame_sample", "pii_scrubbed", "curation_kept_ids",
-        "mixture_sampled_ids", "source_doc_stats", "source_capped_ids",
-        "textstats_repetition",
-        # last driver row is r4 (driver stopped before them in r5)
-        "embedding_norms", "textstats_quality", "lang_id_counts",
-        "fingerprints", "media_image_features", "events_by_minute",
-        "events_type_stats",
+        "source_doc_stats",
+        "bm25_and_less_top10", "bm25_neg_less_top10",
+        "phrase_prox_docs", "dedup_exact_groups", "dedup_kept_ids",
+        "jaccard_consecutive", "minhash_near_dups", "contamination_pairs",
+        "simhash_near_dups", "simhash_complete", "ann_cosine_top10",
+        "ann_lsh_top10", "ann_lsh_sound", "ann_ivf_top10",
+        "embedding_near_dup_pairs", "ann_ivf_batch_top10",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1371,6 +1421,8 @@ ORDER BY s DESC, doc_id LIMIT 10
         "bm25_negation_top10": _bm25_neg_sql("data", "query"),
         "bm25_negation_deep_top10": _bm25_neg_sql("scan", "batch"),
         "bm25_less_top10": _bm25_less_sql("data", "query"),
+        "bm25_and_less_top10": _bm25_full_sql(["dup", "batch"], [], ["small"], mode="and"),
+        "bm25_neg_less_top10": _bm25_full_sql(["data"], ["query"], ["filter"]),
         "bm25_batch_ops_top10": (
             f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_less_sql('data', 'query')}) "
             f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_neg_sql('scan', 'batch')})"
@@ -1536,8 +1588,9 @@ WITH ql AS (
          + 0.25 * (1.0 - least(1.0, 10.0 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END))) AS quality
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-       round(avg(quality), 6) AS avg_quality
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(CAST(round(quality * 1000000000.0) AS BIGINT))
+             / (count(*) * 1000000000.0), 6) AS avg_quality
 FROM ql GROUP BY source
 """,
         "source_capped_ids": (

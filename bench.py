@@ -101,7 +101,11 @@ def _build_child(cores: int, src: str, wh_dir: str) -> None:
     )
     spark.range(1_000_000).select(F.sum("id")).collect()  # JIT/scheduler warm-up
     pages = spark.read.parquet(src)
-    kw = dict(n_buckets=max(8, cores), block_size=128, hot_df=2048, n_salts=max(4, cores // 4))
+    # n_buckets="auto": corpus-proportional layout (build.auto_buckets —
+    # 600k docs -> 16 buckets, 2.4M -> 64), and both sides of the N vs 4N
+    # pair now build the IDENTICAL index layout (the old max(8, cores)
+    # gave the 4-core leg a different 8-bucket index)
+    kw = dict(n_buckets="auto", block_size=128, hot_df=2048, n_salts=max(4, cores // 4))
     # small warm-up build: compiles codegen, spawns python workers, warms
     # shuffle paths — one-time costs a long-running cluster job never
     # pays per batch
@@ -260,6 +264,34 @@ def health_gate() -> tuple[list[dict], str]:
             )
             time.sleep(wait_s)
     return probes, verdict
+
+
+def _datascale_child(cores: int, src: str, wh_dir: str) -> None:
+    """Child body for the data-scaling probe: ONE resumable build of the
+    4x corpus with n_buckets='auto' (amortized across rounds — the
+    deterministic corpus + fingerprint make resume exact), printing the
+    wall, whether it resumed, and the auto-resolved bucket count."""
+    from lsearch_spark.build import STAGES, Warehouse, build_index
+
+    input_bytes = sum(
+        os.path.getsize(os.path.join(src, f)) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    spark = get_spark(
+        app=f"datascale-build-{cores}", cores=cores,
+        shuffle_partitions=int(max(2 * cores, input_bytes // (8 << 20))),
+        extra_confs={"spark.sql.files.maxPartitionBytes": "8m", "spark.sql.files.openCostInBytes": "1m"},
+    )
+    wh = Warehouse(wh_dir)
+    pre_done = all((wh.read_manifest(s) or {}).get("ok") for s in STAGES)
+    t0 = time.time()
+    build_index(
+        spark, src, wh_dir, run_id="datascale", input_id=src, resume=True,
+        n_buckets="auto", block_size=128, hot_df=2048, n_salts=max(4, cores // 4),
+    )
+    print(f"BUILD_SECONDS={time.time() - t0:.3f}")
+    print(f"RESUMED={int(pre_done)}")
+    print(f"N_BUCKETS={int(Warehouse(wh_dir).read_manifest('config')['n_buckets'])}")
+    spark.stop()
 
 
 def _build_once(cores: int, src: str, wh_dir: str) -> tuple[float, dict]:
@@ -445,6 +477,54 @@ def main() -> None:
                 "fallback": bool(info.get("prune_fallback")),
                 "plan": info.get("plan"),
             }
+
+        # DATA-scaling probe (VERDICT r6 #2): 4x the corpus at fixed
+        # cores with n_buckets='auto' — per-bucket bytes stay constant,
+        # so pruned latency should stay ~flat instead of growing
+        # linearly with the corpus (the r6-measured failure at a FIXED
+        # 16-bucket layout: "the" 0.45s -> 1.33s for 4x data). The build
+        # resumes across rounds (deterministic corpus + fingerprint), so
+        # only the first round pays the 4x build. Never sinks the bench.
+        datascale = None
+        if sf >= 0.1 and os.environ.get("LSEARCH_BENCH_DATASCALE", "1") == "1":
+            try:
+                import subprocess
+
+                n4 = 4 * n_docs
+                src4 = corpus_parquet(n4)
+                wh4 = f"{SHM}/lsearch_bench_wh_{n4}_auto"
+                out4 = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--datascale-child", str(hi), src4, wh4],
+                    capture_output=True, text=True, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                meta4 = dict(
+                    ln.split("=", 1) for ln in out4.stdout.splitlines() if "=" in ln
+                )
+                lat4 = {}
+                for q in ("the", "quantum"):
+                    search(spark, wh4, q, k=10, prune=True).collect()  # warm
+                    rs = []
+                    for _ in range(REPS):
+                        t0 = time.time()
+                        search(spark, wh4, q, k=10, prune=True).collect()
+                        rs.append(time.time() - t0)
+                    lat4[q] = round(statistics.median(rs), 4)
+                base_the = statistics.median(pruned_reps["q2"])     # 'the'
+                base_quantum = statistics.median(pruned_reps["q15"])  # 'quantum'
+                datascale = {
+                    "n_docs_4x": n4,
+                    "n_buckets_4x": int(meta4.get("N_BUCKETS", 0)),
+                    "build_sec_4x": float(meta4.get("BUILD_SECONDS", 0.0)),
+                    "build_resumed": bool(int(meta4.get("RESUMED", 0))),
+                    "pruned_the_sec_1x": round(base_the, 4),
+                    "pruned_the_sec_4x": lat4["the"],
+                    "pruned_quantum_sec_1x": round(base_quantum, 4),
+                    "pruned_quantum_sec_4x": lat4["quantum"],
+                    "latency_ratio_the": round(lat4["the"] / max(base_the, 1e-9), 2),
+                }
+            except Exception as e:  # noqa: BLE001 — evidence, not a gate
+                datascale = {"error": f"{type(e).__name__}: {e}"[:300]}
     finally:
         spark.stop()
 
@@ -521,9 +601,12 @@ def main() -> None:
         "health_probes": health_probes,
         "curation": curation_stats,
         "standalone_cluster": standalone,
+        "data_scaling": datascale,
     }
     sa = standalone or {}
     sa_err = (" — ERROR: " + sa["error"]) if "error" in sa else ""
+    ds = datascale or {}
+    ds_err = (" — ERROR: " + ds["error"]) if "error" in ds else ""
     sa_ctl_b = (sa.get("memcpy_before") or {}).get("eff_4_16")
     sa_ctl_a = (sa.get("memcpy_after") or {}).get("eff_4_16")
     os.makedirs("BENCH", exist_ok=True)
@@ -569,6 +652,7 @@ shuffle.partitions = 2x cores.
 | **standalone cluster N->4N (1 exec -> 4 execs, 4 cores each, spark-submit --py-files)** | {sa.get('docs_per_sec_1x')} -> {sa.get('docs_per_sec_4x')} docs/s = **eff {sa.get('efficiency')}** | REAL separate executor JVMs; top-10 identical across sizes: {sa.get('top10_identical')}; same-moment memcpy eff_4_16 before/after: {sa_ctl_b}/{sa_ctl_a}{sa_err} |
 | curate() full rule chain, {n_docs} docs | {curation_stats['curate_sec']:.2f} s = {curation_stats['curate_docs_per_sec']:.0f} docs/s (kept {curation_stats['kept']}) | dedup+lang+tokens+quality+repetition+per-host quota, 2 shuffles (r5 #8) |
 | find_contamination vs 500-probe eval set | {curation_stats['decontaminate_sec']:.2f} s = {curation_stats['decontaminate_docs_per_sec']:.0f} docs/s ({curation_stats['contaminated_pairs']} pairs) | banded corpus scan x broadcast probe bands, one shuffle |
+| **data-scaling 4x probe, AUTO buckets (r6 #2)** | "the" pruned {ds.get('pruned_the_sec_1x')}s @600k/16bkt -> {ds.get('pruned_the_sec_4x')}s @2.4M/{ds.get('n_buckets_4x')}bkt = ratio {ds.get('latency_ratio_the')}; "quantum" {ds.get('pruned_quantum_sec_1x')} -> {ds.get('pruned_quantum_sec_4x')}s | n_buckets='auto' holds per-bucket bytes constant (r6 fixed-16 ratio was 2.96x); 4x build {ds.get('build_sec_4x')}s resumed={ds.get('build_resumed')}{ds_err} |
 
 Query protocol: per-query MEDIAN of {REPS} reps, exhaustive and pruned
 runs interleaved within each rep (single-shot numbers swung 1.7-3x
@@ -800,18 +884,42 @@ def _emit(result: dict, detail_name: str = "DETAIL.json") -> None:
         "standalone_top10_identical": (result.get("standalone_cluster") or {}).get(
             "top10_identical"
         ),
+        # 4x-data probe at auto buckets: ratio ~1 = flat pruned latency
+        "datascale_latency_ratio_the": (result.get("data_scaling") or {}).get(
+            "latency_ratio_the"
+        ),
+        "datascale_buckets": (result.get("data_scaling") or {}).get("n_buckets_4x"),
         "detail": "BENCH/" + detail_name,
     }
+    # progressive shedding, NEVER a crash: the metric line printing is
+    # the whole point of the run — an oversized field (e.g. a long
+    # standalone error string) must cost detail, not the line itself
+    # (ADVICE r6: the old hard assert lost the line in exactly the case
+    # the digest was built to survive)
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: shed per-query detail first
+    if len(line) > 1900:  # shed per-query detail first
         compact["queries"] = {"note": "see " + detail_name}
         line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1900, f"metric line {len(line)}B exceeds driver tail capture"
+    if len(line) > 1900:  # truncate any runaway strings
+        compact = {
+            k: (v[:120] + "..." if isinstance(v, str) and len(v) > 123 else v)
+            for k, v in compact.items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and len(compact) > 4:  # drop trailing optional fields
+        keep = ("metric", "value", "unit", "sf")
+        for k in list(compact.keys())[::-1]:
+            if k not in keep:
+                del compact[k]
+                break
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-child":
         _build_child(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--datascale-child":
+        _datascale_child(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     else:
         main()

@@ -890,12 +890,49 @@ def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | Non
     return max(base, int(flat_bytes // (32 << 20)))
 
 
+DOCS_PER_BUCKET = 37_500  # 600k docs -> 16 buckets, the measured-good
+# sf0.1 layout (r6); growing the corpus grows buckets proportionally so
+# per-bucket postings bytes — and therefore per-query bucket-scan cost —
+# stay ~constant. At a FIXED bucket count, per-bucket parquet
+# metadata/row-group volume grows linearly with the corpus and pruned
+# query latency degrades linearly with data (measured: "the" 0.45s at
+# 600k/16 buckets -> 1.33s at 2.4M/16 buckets).
+
+
+def auto_buckets(n_docs: int, docs_per_bucket: int = DOCS_PER_BUCKET) -> int:
+    """Corpus-proportional bucket count: ceil(n_docs / docs_per_bucket),
+    floor 8. Keeps per-bucket bytes ~constant as the corpus grows —
+    the property that makes term-bucket pruning O(term's postings), not
+    O(corpus), at any scale (10^12 docs -> tens of thousands of
+    buckets; raise docs_per_bucket if file-count ever dominates —
+    per-bucket BYTES is the invariant that matters)."""
+    return max(8, -(-int(n_docs) // int(docs_per_bucket)))
+
+
+def _input_doc_count(spark: SparkSession, pages: DataFrame | str) -> int:
+    """Row count of the build input, as cheaply as the input allows:
+    local parquet dirs via pyarrow footer metadata (no Spark job, no
+    data read); anything else via a zero-column Spark count."""
+    if isinstance(pages, str) and not fsio.has_scheme(pages):
+        try:
+            import pyarrow.parquet as pq
+
+            pat = pages if pages.endswith(".parquet") else os.path.join(pages, "*.parquet")
+            files = [p for p, _ in fsio.file_sizes(pat)]
+            if files:
+                return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+        except Exception:
+            pass
+    df = spark.read.parquet(pages) if isinstance(pages, str) else pages
+    return df.count()
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame | str,
     warehouse: str | Warehouse,
     *,
-    n_buckets: int = 8,
+    n_buckets: int | str = "auto",
     block_size: int = BLOCK_SIZE,
     hot_df: int = 4096,
     n_salts: int = 8,
@@ -908,6 +945,13 @@ def build_index(
 ) -> Warehouse:
     """Build the full index under `warehouse`. Idempotent per (stage,
     input_id): completed stages are skipped on rerun (resume=True).
+
+    n_buckets="auto" (default) sizes the term-bucket count to the
+    corpus — auto_buckets(n_docs) = max(8, ceil(n_docs/37_500)) — so
+    per-bucket bytes stay ~constant as data grows and pruned query
+    latency stays O(term's postings) instead of degrading linearly
+    with corpus size (the r6-measured failure mode at a fixed count).
+    Pass an int to pin the layout.
 
     merge_parts pins the (term, salt) merge-shuffle partition count
     (default _merge_parts_default: max(8*defaultParallelism,
@@ -932,6 +976,13 @@ def build_index(
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     fsio.mkdirs(wh.root)
+    if n_buckets in (None, "auto"):
+        # corpus-proportional layout (see auto_buckets): resolved to a
+        # concrete int BEFORE the fingerprint so resume stays sound —
+        # the same input deterministically yields the same count, hence
+        # the same fingerprint; a grown input changes it and rebuilds.
+        n_buckets = auto_buckets(_input_doc_count(spark, pages))
+    n_buckets = int(n_buckets)
     cfg = {
         "n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df,
         "n_salts": n_salts, "k1": K1, "b": B, "impact_copies": impact_copies,
@@ -1140,15 +1191,31 @@ def build_index(
         # repartition(cols) is AQE-coalescible down to ~advisory-size
         # (64MB) partitions, which would cap the codec parallelism at a
         # handful of tasks regardless of cores.
+        #
+        # ONE shuffle, bucket-ALIGNED (r7): the merge key is
+        # bucket * P + xxhash64(term, salt) % P — still a pure function
+        # of (term, salt), so every group lands whole in one partition
+        # and the merge kernel is unchanged — but each partition now
+        # holds groups of ~one bucket, so the write below needs NO
+        # second repartition. The old layout shuffled the FINAL
+        # compressed blocks (the full posting volume) a second time
+        # just to get one-file-per-bucket; this trades that whole pass
+        # for <=P files per bucket dir (row-group skipping makes the
+        # per-term scan cost identical). P bounds both files-per-bucket
+        # and merge parallelism (n_buckets * P tasks) — n_buckets grows
+        # with the corpus (auto_buckets), so parallelism scales.
         nparts = merge_parts or _merge_parts_default(spark, wh)
-        pre = salted.repartition(nparts, F.col("term"), F.col("salt"))
+        # >= n_salts so a salted stopword's chunk groups still spread
+        # across distinct tasks within their bucket's key range
+        per_bucket = max(n_salts, min(16, (nparts + n_buckets - 1) // n_buckets))
+        mkey = F.col("bucket").cast("long") * per_bucket + F.pmod(
+            F.xxhash64("term", "salt"), F.lit(per_bucket)
+        )
+        # 2x partitions over distinct keys: hash collisions would
+        # otherwise idle ~1/e of the tasks and double-load others
+        pre = salted.repartition(2 * n_buckets * per_bucket, mkey)
         blocks = pre.mapInArrow(_make_block_mapper(block_size, avgdl), BLOCK_SCHEMA)
         blocks, obs = _observed(blocks, "blocks")
-        # one output file per bucket dir (queries partition-prune on the
-        # bucket; without this the write fans out into thousands of
-        # ~10-row files). At cluster scale raise n_buckets so a bucket
-        # stays ~file-sized, or add a second repartition key here.
-        blocks = blocks.repartition(n_buckets, "bucket")
         # sorted-by-term files + 8MB row groups: the query side's isin(term)
         # and block_max_wand predicates then SKIP row groups (a single
         # default 128MB group per file made every per-term scan read the

@@ -176,6 +176,9 @@ def find_contamination(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
+    storage_level: str = "MEMORY_AND_DISK",
+    broadcast_max_ids: int = 4_000_000,
 ) -> DataFrame:
     """Train/eval DECONTAMINATION: corpus docs whose exact n-gram
     Jaccard with an eval probe >= threshold. Returns DataFrame(doc_id,
@@ -185,12 +188,29 @@ def find_contamination(
     grams+signature relation, but candidates come from an equi-join of
     the CORPUS banded relation against the PROBES banded relation — the
     probes side (an eval set: thousands of rows, not billions) is
-    broadcast, so the corpus is scanned once, there is NO self-join and
-    no max_bucket concern, and the only shuffle is the final verify
-    join keyed by candidate ids. Identical texts share every band, so
-    exact contamination (jaccard 1) is found with certainty; 0.8+ pairs
-    at the default 64/16 banding are missed with probability
-    (1 - s^4)^16 < 3e-4."""
+    broadcast, so the corpus is scanned once and there is NO self-join.
+    Identical texts share every band, so exact contamination (jaccard 1)
+    is found with certainty; 0.8+ pairs at the default 64/16 banding are
+    missed with probability (1 - s^4)^16 < 3e-4.
+
+    The candidate count is bounded by probes x their band-bucket sizes,
+    NOT by the probe count alone: a degenerate band hash (boilerplate /
+    near-empty docs — the same failure minhash_lsh_pairs guards with
+    max_bucket) can match one probe band against O(corpus) docs.
+    max_bucket drops corpus-side band buckets larger than the cap
+    before the probe join (recall note: docs in a capped bucket are that
+    similar to each other — route them to exact dedup; at web scale set
+    ~10_000). Independently, the verify re-scan's candidate-id semi-join
+    only BROADCASTS when the materialized candidate-id count is under
+    broadcast_max_ids (one count over the already-persisted candidates),
+    else it degrades to a shuffle semi-join — the broadcast can never
+    blow driver/executor memory whatever the skew.
+
+    storage_level: how the candidate relation is persisted between its
+    two consumers (the verify join's both sides). The persist lives
+    until the caller unpersists or the session GCs it — for repeated
+    calls in a long-lived session, call spark.catalog.clearCache() or
+    consume + unpersist per call."""
     def _base(df, idc, txc, idname):
         return df.select(
             F.col(idc).alias(idname),
@@ -215,26 +235,43 @@ def find_contamination(
 
     cbase = _base(corpus, id_col, text_col, "doc_id")
     pbase = _base(probes, probe_id_col, probe_text_col, "probe_id")
-    # candidates persist (they are O(band matches) — bounded by the probe
-    # set, NOT the corpus) because they feed two consumers below; without
+    # candidates persist because they feed two consumers below; without
     # it the whole corpus-wide grams+minhash pass above would re-run for
     # the verify join (measured: the verify side re-scanned 600k docs'
     # n-grams for ~500 candidates — the banding pass ran twice)
     from pyspark import StorageLevel
 
+    cbanded = _banded(cbase, "doc_id")
+    if max_bucket is not None:
+        # corpus-side degenerate-bucket guard (see docstring): one hash
+        # agg on uniform (band, hash) keys, AQE-coalesced — same shape
+        # as minhash_lsh_pairs's cap
+        small = (
+            cbanded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        cbanded = cbanded.join(small, ["band", "band_hash"], "left_semi")
     cand = (
-        _banded(cbase, "doc_id")
+        cbanded
         .join(F.broadcast(_banded(pbase, "probe_id")), ["band", "band_hash"])
         .select("doc_id", "probe_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(getattr(StorageLevel, storage_level))
     )
     # verify-side grams come from a RAW re-scan semi-joined to the
     # candidate ids — n-grams are recomputed for |candidates| docs only,
-    # never a second corpus-wide pass; the re-scan reads just (id, text)
+    # never a second corpus-wide pass; the re-scan reads just (id, text).
+    # The semi-join broadcasts only when the (now materialized) id count
+    # provably fits; a skew-blown candidate set shuffles instead.
+    cand_ids = cand.select("doc_id").distinct()
+    n_cand = cand.count()  # materializes the persist; driver-side gate
+    if n_cand <= broadcast_max_ids:
+        cand_ids = F.broadcast(cand_ids)
     cgrams = (
         corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .join(F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi")
+        .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", ngram_set("_t", n).alias("doc_id_g"))
     )
     return (

@@ -34,19 +34,33 @@ def url_host(url: Column | str = "url") -> Column:
     return F.lower(host)
 
 
+QUALITY_SCALE = 1_000_000_000
+
+
 def group_stats(
     df: DataFrame, key: Column | str, text: str = "text", key_name: str = "host"
 ) -> DataFrame:
     """Per-group corpus stats: docs, total tokens, mean quality_score.
     ONE hash aggregation (partial map-side combine, AQE-coalesced);
-    returns DataFrame(<key_name>, n_docs, n_tokens, avg_quality)."""
+    returns DataFrame(<key_name>, n_docs, n_tokens, avg_quality).
+
+    avg_quality is order-independent: per-doc quality is fixed to 9
+    decimals as an integer (round(q * 1e9) -> long) and the integers are
+    summed, so the result is bit-identical under any partitioning /
+    partial-agg combine order / engine — F.avg over doubles is not
+    (float summation order varies with the shuffle), which at 6-dp
+    rounding boundaries made the same corpus hash differently between
+    runs and engines."""
     k = F.col(key) if isinstance(key, str) else key
+    q9 = F.round(quality_score(text) * F.lit(float(QUALITY_SCALE)), 0).cast("long")
     return (
         df.groupBy(k.alias(key_name))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.size(tokens_col(text))).alias("n_tokens"),
-            F.avg(quality_score(text)).alias("avg_quality"),
+            (F.sum(q9) / (F.count("*") * F.lit(float(QUALITY_SCALE)))).alias(
+                "avg_quality"
+            ),
         )
     )
 

@@ -116,6 +116,32 @@ SCORED_SCHEMA = "term string, doc_id long, tscore double"
 _WH_CACHE: dict[str, dict] = {}
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted Spark SQL string literal (escaped)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_double(x: float) -> str:
+    """Exact double literal: python repr is the shortest round-trip
+    decimal, and Java's Double.parseDouble returns the nearest double —
+    i.e. the same bits back."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _values_df(spark: SparkSession, row_sql: list[str], cols: str) -> DataFrame:
+    """Driver-known small relation as an inline-VALUES LocalRelation.
+
+    createDataFrame(list_of_rows) builds an RDD-backed plan: every
+    collect or join against it launches a real job and pays python
+    pickling both ways — measured 220-370 ms to collect TEN rows on a
+    warm local[16] session, the single largest hidden cost of the
+    verification fast path and the batch per-query fan-out maps. A
+    VALUES LocalRelation lives JVM-side: collect is driver-only
+    (no job), and broadcast hashing happens on the driver. Only for
+    k-bounded / query-bounded row counts (the SQL text is O(rows))."""
+    return spark.sql(f"SELECT * FROM VALUES {', '.join(row_sql)} AS t({cols})")
+
+
 def _kind_filtered(rel: DataFrame, kind: int) -> DataFrame | None:
     """Select one kind partition of the postings table, or the whole
     table on pre-v8 layouts that never wrote a kind column (for kind=0
@@ -518,6 +544,14 @@ def _range_semi_join(blocks: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+def _docs_unique(st: dict, live: list[str]) -> bool:
+    """True when every doc is guaranteed to appear in at most ONE decode
+    partial row: a single positive term on an unsegmented index (one
+    (term, doc) posting index-wide; appended segments could in principle
+    carry a repeated doc_id, so they keep the aggregating path)."""
+    return len(live) == 1 and int(st["cfg"].get("n_appends", 0) or 0) == 0
+
+
 def _agg_topk(
     partials: DataFrame,
     n_terms: int,
@@ -525,6 +559,7 @@ def _agg_topk(
     neg_docs: DataFrame | None,
     k: int,
     within_docs: DataFrame | None = None,
+    unique_docs: bool = False,
 ) -> DataFrame:
     """Final aggregation over (doc_id, score, hits) partials. hits sums
     to the number of distinct query terms a doc matched (each (term,
@@ -532,12 +567,26 @@ def _agg_topk(
     on partials exactly as it did on per-posting rows. within_docs (the
     metadata-filter docset) restricts candidates by LEFT SEMI — the
     mirror of the neg anti-join; AQE broadcasts a small docset and falls
-    back to a shuffle join at scale."""
-    agg = partials.groupBy("doc_id").agg(
-        F.sum("score").alias("score"), F.sum("hits").alias("n_terms_hit")
-    )
-    if mode == "and":
-        agg = agg.filter(F.col("n_terms_hit") == n_terms)
+    back to a shuffle join at scale.
+
+    unique_docs=True (single positive term, unsegmented index) skips the
+    groupBy SHUFFLE STAGE entirely: each doc has exactly one (term, doc)
+    posting index-wide, blocks partition postings and decode batches
+    partition blocks, so every doc occurs in exactly one partial row
+    already — TakeOrderedAndProject runs directly on the decode output
+    (per-partition heap + driver merge, zero exchanges). This halves
+    the interactive stage count for the most common query shape; the
+    caller is responsible for the uniqueness precondition (appends can
+    in principle re-introduce a doc_id in a new segment, so it is gated
+    on n_appends == 0)."""
+    if unique_docs:
+        agg = partials  # one row per doc already; mode/n_terms trivial at 1 term
+    else:
+        agg = partials.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.sum("hits").alias("n_terms_hit")
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_terms_hit") == n_terms)
     if neg_docs is not None:
         agg = agg.join(neg_docs, "doc_id", "left_anti")
     if within_docs is not None:
@@ -912,9 +961,12 @@ def search(
     selectivity deepens tau exactly like a '-term''s df does, and the
     same a-posteriori verification (k-th surviving score >= tau, else
     exhaustive rerun) keeps results exact at any correlation between
-    the filter and the query terms. within+'~less' and the conjunctive
-    probe-tau plan degrade to the (still exact, single-job) exhaustive
-    scan; the candidate-driven AND plan composes as-is.
+    the filter and the query terms. within+'~less' composes the same
+    way (tau deepened by the filter's selectivity AND lowered by the
+    less bound, verification on the surviving final scores); only the
+    conjunctive probe-tau plan degrades to the (still exact,
+    single-job) exhaustive scan; the candidate-driven AND plan
+    composes as-is.
 
     prune=True (the DEFAULT) enables driver-side block-max WAND (module
     docstring); results are exact. The cost-based planner picks between
@@ -924,15 +976,17 @@ def search(
     (exhaustive rerun on shortfall). '~less' terms prune too (tau is
     lowered by the less terms' total upper bound). Depth is not
     K_TOP-bounded — impact ladders extend tau formation to any k.
+    neg+less COMPOSES (r7): the df-aware deeper tau stacks with the
+    less correction and the a-posteriori verification covers both.
     mode="and" prunes too, via two exact plans chosen by shape: a
     candidate-driven range semi-join seeded by the rarest term
     (selective conjunctions, O(df_rare)) or a conjunctive probe tau +
-    block-max filter (stopword conjunctions). AND+neg prunes through
-    the candidate-driven plan too (every conjunctive match carries an
-    exact score before the exclusion applies — no verification needed);
-    shapes that miss its selectivity gate stay exhaustive, as do
-    AND+less / neg+less combined and probe-not-worth-it shapes, or when
-    stats are missing (pre-v2 indexes).
+    block-max filter (stopword conjunctions). AND+neg AND AND+less
+    prune through the candidate-driven plan (every conjunctive match
+    carries an exact positive score before exclusion/penalties apply —
+    no verification needed); shapes that miss its selectivity gate stay
+    exhaustive, as do probe-not-worth-it shapes, or when stats are
+    missing (pre-v2 indexes).
 
     probe governs the tau-refinement job for disjunctive multi-stopword
     shapes ("of and"): "auto" (default) runs it only when the estimated
@@ -1013,19 +1067,18 @@ def search(
 
     tau = float("-inf")
     pruned = False
-    if (
-        prune
-        and (mode == "or" or len(live) == 1)
-        and not ((neg or within_docs is not None) and live_less)
-    ):
+    if prune and (mode == "or" or len(live) == 1):
         # (single-term AND == OR, so it shares this branch; multi-term
         # AND gets its own two plans below.) Negation prunes with a
         # df-aware deeper tau and an A-POSTERIORI verification (below):
         # exactness never depends on the witnesses surviving the anti-join.
         # '~less' prunes by LOWERING tau by the less terms' total upper
-        # bound (see below); the neg+less combination stays exhaustive
-        # (compounding both corrections buys little and complicates the
-        # verification proof).
+        # bound (see below). neg+less / within+less COMPOSE (r7): the
+        # deeper-tau k_eff and the less correction stack — tau then
+        # lower-bounds the k-th best FINAL score among survivors, and
+        # the a-posteriori verification (which compares the surviving
+        # k-th FINAL score against the composed tau) covers any
+        # correlation, exactly as for plain negation.
         bstats = _term_block_stats(spark, st, wh, live)
         ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
         k_eff = k
@@ -1138,7 +1191,7 @@ def search(
                 # WHAT the cost-based planner decided and on what numbers)
                 _stats["plan"] = ("routed+probe" if probed else "routed") if pruned else "exhaustive"
                 _stats["est_kept_blocks"] = est_kept
-    elif prune and mode == "and" and len(live) >= 2 and not live_less:
+    elif prune and mode == "and" and len(live) >= 2:
         # Conjunctive pruning (VERDICT r4 #7), two exact plans by shape:
         #
         # 1. CANDIDATE-DRIVEN (selective AND, 'w0003 the'): the rarest
@@ -1165,16 +1218,24 @@ def search(
         # exact and removes nothing that belongs: exact with NO tau and
         # no verification step. Plan 2's tau is a-priori valid only for
         # the UNfiltered conjunctive k-th best, so AND+neg shapes that
-        # miss plan 1's selectivity gate stay exhaustive, as does
-        # AND+less. Single-term AND == OR and is handled above.
+        # miss plan 1's selectivity gate stay exhaustive. AND+less (r7)
+        # composes with plan 1 by the same argument as AND+neg: every
+        # conjunctive match carries a complete exact positive score, and
+        # the '~less' penalties are always decoded in full and
+        # subtracted afterwards — exact final scores for the entire
+        # conjunctive result set, no tau, no verification. Plan 2 stays
+        # gated on no-less (its tau has no less correction here).
+        # Single-term AND == OR and is handled above.
         and_blocks = _and_candidate_blocks(spark, wh, st, live, dfs)
         if and_blocks is not None:
             blocks = and_blocks
             pruned = True
             if _stats is not None:
-                _stats["plan"] = "and-candidate+neg" if neg else "and-candidate"
-        elif neg:
-            pass  # probe-tau plan is unsound under exclusion: exhaustive
+                suffix = ("+neg" if neg else "") + ("+less" if live_less else "")
+                _stats["plan"] = "and-candidate" + suffix
+        elif neg or live_less:
+            pass  # probe-tau plan is unsound under exclusion and has no
+            # less correction on this path: exhaustive
         else:
             bstats = _term_block_stats(spark, st, wh, live)
             ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
@@ -1218,8 +1279,17 @@ def search(
         )
         _stats["_obs"] = obs
 
-    partials = _decode_score_partials(blocks, idf_map, avgdl, excl_bc)
-    if live_less:
+    def _mk_topk(blocks_df: DataFrame) -> DataFrame:
+        """Final top-k over a block relation — shared by the first
+        attempt and the verification fallback so '~less' penalties are
+        applied IDENTICALLY on both (the old fallback predated pruned
+        less-composition and would have dropped penalties)."""
+        partials = _decode_score_partials(blocks_df, idf_map, avgdl, excl_bc)
+        if not live_less:
+            return _agg_topk(
+                partials, len(live), mode, neg_docs, k, within_docs,
+                unique_docs=_docs_unique(st, live),
+            )
         less_idf = {t: _idf(n_docs, dfs[t]) for t in live_less}
         less_partials = _decode_score_partials(
             _postings_for(spark, wh, st, live_less), less_idf, avgdl
@@ -1237,20 +1307,25 @@ def search(
         agg = agg.join(penalties, "doc_id", "left").withColumn(
             "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
         )
-        topk = agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    else:
-        topk = _agg_topk(partials, len(live), mode, neg_docs, k, within_docs)
+        return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    topk = _mk_topk(blocks)
 
     if pruned and (neg or within_docs is not None) and tau > float("-inf"):
         # A-POSTERIORI VERIFICATION (exactness proof for pruned negation):
-        # every kept doc with score >= tau has ALL its blocks kept (the
-        # block filter keeps any block whose bound reaches tau), so its
-        # score is exact; every pruned-away doc has true score < tau. If
-        # the anti-joined top-k's k-th score still >= tau, the k results
-        # are exact and nothing pruned can displace or tie them. On a
-        # shortfall (too many witnesses excluded) rerun exhaustively —
-        # the fallback rate is df-bounded by the k_eff choice above and
-        # recorded in query_metrics.
+        # every kept doc with POSITIVE-sum score >= tau has ALL its
+        # blocks kept (the block filter keeps any block whose bound
+        # reaches tau), so its score is exact; every pruned-away doc has
+        # true positive sum < tau. With '~less' composed, tau was ALSO
+        # lowered by the less terms' total upper bound, so a surviving
+        # FINAL score (positive - penalty, penalties always decoded in
+        # full) >= tau still implies every pruned doc ranks strictly
+        # below (its final <= its positive < tau). If the surviving
+        # top-k's k-th score >= tau, the k results are exact and nothing
+        # pruned can displace or tie them. On a shortfall (too many
+        # witnesses excluded) rerun exhaustively — the fallback rate is
+        # df-bounded by the k_eff choice above and recorded in
+        # query_metrics.
         rows = topk.collect()
         if len(rows) == k and float(rows[-1]["score"]) >= tau:
             if _stats is not None:
@@ -1258,8 +1333,10 @@ def search(
             # rows are already (score DESC, doc_id ASC); a LocalRelation
             # preserves insertion order on collect, and re-sorting 10 rows
             # through orderBy would cost a range-partitioning sampling job
-            topk = spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in rows], RESULT_SCHEMA
+            topk = _values_df(
+                spark,
+                [f"({int(r['doc_id'])}L, {_sql_double(r['score'])})" for r in rows],
+                "doc_id, score",
             )
         else:
             blocks = _postings_for(spark, wh, st, live)
@@ -1274,10 +1351,7 @@ def search(
                     F.sum("n_docs").alias("postings_decoded"),
                 )
                 _stats["_obs"] = obs
-            topk = _agg_topk(
-                _decode_score_partials(blocks, idf_map, avgdl, excl_bc),
-                len(live), mode, neg_docs, k, within_docs,
-            )
+            topk = _mk_topk(blocks)
 
     if with_url:
         docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "url")
@@ -1558,7 +1632,11 @@ def batch_search(
         if routed_df is not None:
             return routed_df.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
         return empty
-    qterms = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
+    qterms = _values_df(
+        spark,
+        [f"({_sql_str(q)}, {_sql_str(t)}, {int(n)})" for q, t, n in pairs],
+        "query_id, term, n_terms",
+    )
 
     blocks = _postings_for(spark, wh, st, live)
     if bstats is not None and live:
@@ -1601,7 +1679,11 @@ def batch_search(
         agg = agg.filter(F.col("n_hit") == F.col("n_terms"))
     less_pairs = [(qid, t) for qid, ts in qless.items() for t in ts if t in dfs]
     if less_pairs:
-        lmap = spark.createDataFrame(less_pairs, "query_id string, term string")
+        lmap = _values_df(
+            spark,
+            [f"({_sql_str(q)}, {_sql_str(t)})" for q, t in less_pairs],
+            "query_id, term",
+        )
         less_terms = sorted({t for _, t in less_pairs})
         less_idf = {t: _idf(n_docs, dfs[t]) for t in less_terms}
         lscored = _decode_score_terms(_postings_for(spark, wh, st, less_terms), less_idf, avgdl)
@@ -1659,7 +1741,11 @@ def batch_search(
             # over the gate (a >90%-df exclusion at true corpus scale):
             # distributed ids decode + per-query LEFT ANTI — the plan
             # that fits executor/driver memory at any df
-            nq = spark.createDataFrame(neg_pairs, "query_id string, term string")
+            nq = _values_df(
+                spark,
+                [f"({_sql_str(q)}, {_sql_str(t)})" for q, t in neg_pairs],
+                "query_id, term",
+            )
             nids = _decode_blocks_ids_prov(
                 _postings_for(spark, wh, st, neg_terms)
             ).select("term", "doc_id")
@@ -1832,9 +1918,14 @@ def batch_search_with_stats(
     items = list(queries.items()) if isinstance(queries, dict) else [(f"q{i}", q) for i, q in enumerate(queries)]
     obs = Observation(f"batch_{uuid.uuid4().hex[:12]}")
     binfo: dict = {}
+    # wall timer starts BEFORE batch_search(): routed-out queries execute
+    # EAGERLY inside it (search()'s planning jobs, probes, and the
+    # '-neg' a-posteriori verification collect all run before the plan
+    # is returned), so timing only the final collect would exclude
+    # exactly the work route-out adds (ADVICE r6)
+    t0 = time.time()
     out = batch_search(spark, wh, dict(items), k=k, mode=mode, prune=prune, _stats=binfo)
     out = out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
-    t0 = time.time()
     rows = out.collect()
     wall = (time.time() - t0) * 1000.0
     per_q: dict[str, int] = {}
@@ -1849,7 +1940,9 @@ def batch_search_with_stats(
         "wall_ms": wall,
         **binfo,
     }
+    routed = set(binfo.get("routed_out") or [])
     for qid, q in items:
+        is_routed = str(qid) in routed
         _write_query_metrics(
             wh,
             {
@@ -1858,13 +1951,18 @@ def batch_search_with_stats(
                 "k": k,
                 "mode": mode,
                 "prune": prune,
-                "plan": binfo.get("plan"),
+                # routed-out queries executed as standalone search()
+                # calls inside the batch: their decoded blocks never
+                # reach the batch Observation, so their rows must not be
+                # read as shared-scan cost (ADVICE r6) — flag them and
+                # blank the shared counters
+                "plan": "batch-routed-out" if is_routed else binfo.get("plan"),
                 "tau": None,
                 # shared-scan attribution: blocks/postings are the BATCH
-                # totals, repeated on every row of the batch
-                "blocks_total": binfo.get("blocks_total"),
-                "blocks_decoded": binfo.get("blocks_decoded"),
-                "postings_decoded": binfo.get("postings_decoded"),
+                # totals, repeated on every non-routed row of the batch
+                "blocks_total": None if is_routed else binfo.get("blocks_total"),
+                "blocks_decoded": None if is_routed else binfo.get("blocks_decoded"),
+                "postings_decoded": None if is_routed else binfo.get("postings_decoded"),
                 "rows_returned": per_q.get(str(qid), 0),
                 "wall_ms": wall,
             },
@@ -2251,8 +2349,10 @@ def search_snippets(
     live = sorted((t for t in pos_terms if t in dfs), key=lambda t: (dfs[t], t))
     if not live:
         return empty
-    ids = spark.createDataFrame(
-        [(int(r["doc_id"]), float(r["score"])) for r in top], "doc_id long, score double"
+    ids = _values_df(
+        spark,
+        [f"({int(r['doc_id'])}L, {_sql_double(r['score'])})" for r in top],
+        "doc_id, score",
     )
     docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "tokens")
     j = docs.join(F.broadcast(ids), "doc_id")
@@ -2311,8 +2411,10 @@ def search_highlights(
     pos_terms, _neg, _less = parse_query(query)
     dfs = _term_dfs(spark, st, wh, pos_terms)
     live = [t for t in pos_terms if t in dfs]
-    scores = spark.createDataFrame(
-        [(int(r["doc_id"]), float(r["score"])) for r in top], "doc_id long, score double"
+    scores = _values_df(
+        spark,
+        [f"({int(r['doc_id'])}L, {_sql_double(r['score'])})" for r in top],
+        "doc_id, score",
     )
     blocks = _range_semi_join(
         _postings_for(spark, wh, st, live), scores.select("doc_id")

@@ -936,6 +936,46 @@ def test_and_candidate_plan_composes_with_negation(spark, wh, pyidx):
         assert_rank_identical(got_e, want), q
 
 
+def test_and_candidate_plan_composes_with_less(spark, wh, pyidx):
+    """VERDICT r6 #5: AND+'~less' prunes through the candidate-driven
+    plan — every conjunctive match carries an exact positive score and
+    penalties are decoded in full, so the composition needs no tau and
+    no verification. Must equal the exhaustive twin and the python
+    oracle, and decode fewer blocks than the candidate terms' total."""
+    from lsearch_spark.query import search, search_with_stats
+
+    for q in ("tiebreak the ~chemistry", "tiebreak the ~biology -chemistry"):
+        rows, info = search_with_stats(spark, wh, q, k=10, mode="and")
+        assert info["plan"].startswith("and-candidate"), (q, info)
+        assert "+less" in info["plan"], (q, info)
+        assert info["blocks_total"] and info["blocks_decoded"] < info["blocks_total"], (q, info)
+        got_e = search(spark, wh, q, k=10, mode="and", prune=False).collect()
+        want = bm25_topk(pyidx, q, k=10, mode="and")
+        assert_rank_identical(rows, want), q
+        assert_rank_identical(got_e, want), q
+
+
+def test_neg_less_composed_pruning(spark, wh, pyidx):
+    """VERDICT r6 #5: neg+'~less' composes in the OR planner — the
+    df-aware deeper tau stacks with the less upper-bound correction and
+    the a-posteriori verification (surviving k-th FINAL score >= tau)
+    keeps it exact. Pruned == exhaustive == python oracle; when the
+    verification passes, fewer blocks than total were decoded."""
+    from lsearch_spark.query import search, search_with_stats
+
+    for q in ("the -biology ~chemistry", "physics -the ~biology", "the ~physics -chemistry"):
+        rows, info = search_with_stats(spark, wh, q, k=10, prune=True)
+        got_e = search(spark, wh, q, k=10, prune=False).collect()
+        want = bm25_topk(pyidx, q, k=10)
+        assert_rank_identical(rows, want), (q, info)
+        assert_rank_identical(got_e, want), q
+        if info.get("prune_verified"):
+            assert info["blocks_decoded"] < info["blocks_total"], (q, info)
+        # pruning engaged (plan routed) for at least the stopword shapes
+        if q.startswith("the "):
+            assert info["plan"] != "exhaustive" or info.get("prune_fallback"), (q, info)
+
+
 def test_and_probe_plan_prunes_stopword_pair(spark, wh, pyidx):
     """A conjunctive stopword pair (no rare seed) must, with the probe
     forced, form a conjunctive tau and decode fewer blocks than total —

@@ -21,13 +21,28 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    # Floats compare at 12 SIGNIFICANT digits — strict enough to catch
+    # the 1e-6-scale divergences the driver's exact-value hash flags
+    # (r6's source_doc_stats red was masked by the old round-to-9-DECIMALS
+    # here), loose enough to ignore 1-ulp cross-engine noise the driver
+    # demonstrably tolerates (media_image_features was driver-green in r6
+    # with 1-ulp mean-channel diffs). Everything becomes a string so row
+    # tuples sort without mixed-type '<' errors.
     if v is None:
-        return None
+        return "\x00null"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
-    return v
+        if v.is_integer():
+            return str(int(v))  # hugeint->float64 pandas artifact; 1351.0 == 1351
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
 
 
 def rowset(df_pandas):
