@@ -884,6 +884,9 @@ def _emit(result: dict, detail_name: str = "DETAIL.json") -> None:
         "standalone_top10_identical": (result.get("standalone_cluster") or {}).get(
             "top10_identical"
         ),
+        "standalone_probes_stable": (result.get("standalone_cluster") or {}).get(
+            "probes_stable"
+        ),
         # 4x-data probe at auto buckets: ratio ~1 = flat pruned latency
         "datascale_latency_ratio_the": (result.get("data_scaling") or {}).get(
             "latency_ratio_the"

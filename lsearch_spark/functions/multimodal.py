@@ -4,13 +4,15 @@ Media are opaque `binary` payloads with typed metadata — the Spark-side
 plumbing (schemas, Arrow batch shapes, partitioning) is real and
 tested. The codec step is pluggable: `decode=\"fake\"` (default)
 derives deterministic features from the payload bytes so tests are
-stable everywhere; `decode=\"real\"` decodes the standard UNCOMPRESSED
-container formats natively in numpy — BMP (24-bit) and PPM (P6) images,
-WAV (PCM 8/16-bit) audio — with no external dependency, and falls back
-to the optional codec libraries (Pillow for other image formats,
-soundfile for other audio, PyAV for video) when they are importable,
-raising NotImplementedError with the exact dependency otherwise (the
-compressed-codec branches are import-gated, not dead code).
+stable everywhere; `decode=\"real\"` decodes BMP (24-bit) and PPM (P6)
+images, baseline PNG (8-bit gray/RGB/RGBA/palette, all five scanline
+filters — a real COMPRESSED format, inflated with the stdlib's zlib)
+and WAV (PCM 8/16-bit) audio natively in numpy with no external
+dependency, and falls back to the optional codec libraries (Pillow for
+other image formats, soundfile for other audio, PyAV for video) when
+they are importable, raising NotImplementedError with the exact
+dependency otherwise (the remaining compressed-codec branches are
+import-gated, not dead code).
 """
 
 from __future__ import annotations
@@ -82,7 +84,12 @@ def synth_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image":
+        if kind == "image" and i % 6 == 3:
+            # every other image row is a REAL compressed PNG (zlib IDAT)
+            w, h = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            rows.append((i, kind, bytearray(encode_png(rgb)), w, h, 1, None))
+        elif kind == "image":
             w, h = int(rng.randint(4, 24)), int(rng.randint(4, 24))
             rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
             stride = (w * 3 + 3) & ~3
@@ -178,6 +185,125 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     return np.frombuffer(payload, np.uint8, w * h * 3, i).reshape(h, w, 3)
 
 
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Native numpy+stdlib-zlib decode of a baseline PNG -> (h, w, 3)
+    RGB array, or None if not such a PNG. Pure public file-format
+    knowledge (the PNG spec): 8-byte signature, length-type-data-crc
+    chunks, IHDR geometry, zlib-compressed IDAT scanlines each prefixed
+    by a filter byte (0 none / 1 sub / 2 up / 3 average / 4 paeth).
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    6 (RGBA, alpha dropped), non-interlaced — the overwhelmingly common
+    shapes; anything else returns None and falls through to the
+    import-gated Pillow path. The first COMPRESSED format the engine
+    decodes with zero dependencies."""
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(payload)
+    ihdr, idat, plte = None, [], None
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # skip CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or ct not in (0, 2, 3, 6) or comp or filt or interlace:
+        return None
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if w <= 0 or h <= 0 or len(raw) < h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (1 + stride) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # sub: recurrence per channel -> cumsum mod 256
+            cur = line.reshape(w, ch).cumsum(0).reshape(stride) & 0xFF
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):  # average / paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                a = cur[x * ch - ch : x * ch] if x else np.zeros(ch, np.int32)
+                b = prev[s]
+                if f == 3:
+                    cur[s] = (line[s] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x * ch - ch : x * ch] if x else np.zeros(ch, np.int32)
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                    cur[s] = (line[s] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if ct == 2:
+        return out.reshape(h, w, 3)
+    if ct == 6:
+        return out.reshape(h, w, 4)[:, :, :3]
+    if ct == 0:
+        return np.repeat(out.reshape(h, w, 1), 3, axis=2)
+    # palette: each byte indexes PLTE's RGB triples
+    if plte is None or len(plte) < 3:
+        return None
+    pal = np.frombuffer(plte, np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    idx = out.reshape(h, w)
+    if idx.max(initial=0) >= pal.shape[0]:
+        return None
+    return pal[idx]
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Minimal baseline PNG encoder ((h, w, 3) uint8, filter 0 rows,
+    one zlib IDAT) — the roundtrip twin of decode_png, used by
+    synth_real_media and the tests; also a legitimate tiny sink."""
+    import zlib
+
+    h, w = rgb.shape[:2]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + rgb[y].astype(np.uint8).tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _ahash64(gray: np.ndarray) -> int:
     """8x8 box-average aHash of a grayscale array (box resampling — the
     Pillow path's filter differs slightly, so hashes are comparable only
@@ -198,11 +324,14 @@ def _ahash64(gray: np.ndarray) -> int:
 
 
 def _real_pixel_stats(payload: bytes) -> tuple[float, float, float, int]:
-    """Real decode: native numpy for BMP/PPM, Pillow for anything else.
-    Features: channel means + 8x8 average-hash (aHash)."""
+    """Real decode: native numpy for BMP/PPM/PNG (PNG via stdlib zlib —
+    a real COMPRESSED format with zero dependencies), Pillow for
+    anything else. Features: channel means + 8x8 average-hash (aHash)."""
     arr = decode_bmp(payload)
     if arr is None:
         arr = decode_ppm(payload)
+    if arr is None:
+        arr = decode_png(payload)
     if arr is not None:
         a = arr.astype(np.float64) / 255.0
         mr, mg, mb = a.mean(axis=(0, 1))

@@ -963,10 +963,9 @@ def search(
     exhaustive rerun) keeps results exact at any correlation between
     the filter and the query terms. within+'~less' composes the same
     way (tau deepened by the filter's selectivity AND lowered by the
-    less bound, verification on the surviving final scores); only the
-    conjunctive probe-tau plan degrades to the (still exact,
-    single-job) exhaustive scan; the candidate-driven AND plan
-    composes as-is.
+    less bound, verification on the surviving final scores), and so
+    does the conjunctive probe-tau plan (deeper probe witnesses +
+    verification, r7); the candidate-driven AND plan composes as-is.
 
     prune=True (the DEFAULT) enables driver-side block-max WAND (module
     docstring); results are exact. The cost-based planner picks between
@@ -1244,13 +1243,22 @@ def search(
             probe_worth = probe is True or (
                 probe == "auto" and est_postings >= _PROBE_MIN_POSTINGS
             )
-            # within disables ONLY this plan: its tau is a-priori valid
-            # for the UNFILTERED conjunctive k-th best, and this path
-            # has no verification step to cover a filtered one (the
-            # candidate-driven plan above composes — it enumerates every
-            # conjunctive match with exact scores before the semi-join)
-            if all(t in bstats for t in live) and probe_worth and within_docs is None:
-                tau = _probe_tau_and(spark, st, wh, live, idf_map, avgdl, k)
+            # within COMPOSES with this plan (r7): the probe tau is
+            # a-priori valid for the UNFILTERED conjunctive k-th best,
+            # so under a docset filter the probe asks for proportionally
+            # deeper witnesses (same k_eff formula as the OR path) and
+            # the generic a-posteriori verification below (surviving
+            # k-th score >= tau, else exhaustive rerun) makes the
+            # filtered result exact at any filter/term correlation.
+            if all(t in bstats for t in live) and probe_worth:
+                k_eff_and = k
+                if within_docs is not None:
+                    n_within = within_docs.count()
+                    if n_within == 0:
+                        return empty
+                    keep = max(min(1.0, n_within / max(n_docs, 1)), 1e-9)
+                    k_eff_and = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep)
+                tau = _probe_tau_and(spark, st, wh, live, idf_map, avgdl, k_eff_and)
                 if tau > float("-inf"):
                     ub_corr = max(1.0, ratio)
                     ub = {t: idf_map[t] * bstats[t]["ub_wand"] * ub_corr for t in live}
@@ -1378,9 +1386,13 @@ def batch_search(
     within applies ONE batch-global metadata docset (predicate string
     over docs metadata or a doc_id DataFrame, see search()) to every
     query: LEFT SEMI before the per-query top-k window. A within batch
-    runs UNPRUNED (each query's tau bounds the unfiltered k-th best —
-    too high for a filtered candidate set — and search()'s a-posteriori
-    verification has no batched analog); still one job, still exact.
+    PRUNES (r7): per-query thetas form at the filter-deepened depth
+    (k_eff from the docset's keep fraction, as in search()) and a
+    BATCHED a-posteriori verification — one collect, each pruned
+    query's k-th surviving score checked against its composed tau —
+    reruns only the failed queries through search() (filtered,
+    unpruned). Exact per query at any filter/term correlation; routed
+    queries carry the docset into search(), which verifies them itself.
 
     Interactive `search` latency is dominated by the per-job scheduler
     floor (~0.3s locally); evaluation pipelines that run thousands of
@@ -1496,13 +1508,27 @@ def batch_search(
     # and union back in — still ONE action, per-query top-k unchanged.
     plan, blocks_total = "exhaustive", None
     theta_map: dict[str, dict[str, float] | None] = {}
+    tau_map: dict[str, float] = {}
     est_own: dict[str, float] = {}
     bstats = None
     imp: set = set()
-    if prune and mode == "or" and within_docs is None:
+    # within COMPOSES with the batch-pruned shared scan (r7): per-query
+    # thetas form at a filter-deepened depth (the batch-global docset's
+    # keep fraction, same k_eff formula as search()) and a BATCHED
+    # a-posteriori verification below checks every pruned query's k-th
+    # surviving score against its tau, rerunning only the failures —
+    # shared-scan amortization with per-query exactness.
+    k_theta, keep_within = k, 1.0
+    if prune and mode == "or":
         bstats = _term_block_stats(spark, st, wh, live)
         if not all(t in bstats for t in live):
             bstats = None
+        if bstats is not None and within_docs is not None:
+            n_within = within_docs.count()
+            if n_within == 0:
+                return empty
+            keep_within = max(min(1.0, n_within / max(n_docs, 1)), 1e-9)
+            k_theta = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep_within)
     if bstats is not None:
         ratio = avgdl / max(float(st["cfg"].get("wand_avgdl") or avgdl), 1e-9)
         bsz = int(st["cfg"].get("block_size") or 128)
@@ -1518,7 +1544,7 @@ def batch_search(
             lless = [t for t in qless[qid] if t in dfs]
             if not qneg[qid]:
                 idf_q = {t: idf_map[t] for t in lq}
-                thetas, _tau = _wand_thetas(lq, idf_q, bstats, k, ratio, bsz)
+                thetas, _tau = _wand_thetas(lq, idf_q, bstats, k_theta, ratio, bsz)
                 if thetas is not None and lless:
                     # same correction as search(): tau lower-bounds the
                     # k-th best POSITIVE sum; each witness loses at most
@@ -1553,6 +1579,9 @@ def batch_search(
                 idf_q = {t: idf_map[t] for t in lq}
                 route_thetas, _ = _wand_thetas(lq, idf_q, bstats, k_eff, ratio, bsz)
             theta_map[qid] = thetas
+            if thetas is not None:
+                tau_map[qid] = _tau  # composed (post-less-correction) tau
+                # — consumed by the within verification below
             if route_thetas is not None:
                 est_own[qid] = sum(
                     _est_kept_blocks(bstats[t], route_thetas[t], t in imp) for t in lq
@@ -1611,7 +1640,9 @@ def batch_search(
                 + ["-" + t for t in qneg[qid]]
                 + ["~" + t for t in qless[qid]]
             )
-            res = search(spark, wh, qstr, k=k, mode=mode, prune=True)
+            # within rides along: the routed query must honor the same
+            # batch-global docset (search prunes + verifies it itself)
+            res = search(spark, wh, qstr, k=k, mode=mode, prune=True, within=within_docs)
             parts.append(res.select(F.lit(qid).alias("query_id"), "doc_id", "score"))
             del qmap[qid], qneg[qid], qless[qid]
         routed_df = parts[0]
@@ -1763,7 +1794,63 @@ def batch_search(
     )
     if routed_df is not None:
         out = out.unionAll(routed_df)
-    return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    out = out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+    if within_docs is not None and plan.startswith("routed-batch") and tau_map:
+        # BATCHED a-posteriori verification (r7): the shared scan pruned
+        # under filter-deepened thetas whose taus bound the UNFILTERED
+        # k-th best, so each pruned query's k-th surviving score must
+        # reach its composed tau — the same exactness proof as
+        # search()'s, checked for the whole batch from ONE collect.
+        # Failures (filter/term correlation beyond the k_eff margin)
+        # rerun individually through search() (unpruned, filtered);
+        # queries whose theta never formed decoded their terms in full
+        # under the -inf union and need no check. The result returns as
+        # an inline-VALUES LocalRelation in final order (driver-side
+        # sort; no extra job).
+        rows = out.collect()
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        redo = [
+            qid
+            for qid, tau_q in tau_map.items()
+            if qid in qmap  # routed-out queries verified inside search()
+            and tau_q > float("-inf")
+            and not (
+                len(by_q.get(qid, [])) == k
+                and float(by_q[qid][k - 1]["score"]) >= tau_q
+            )
+        ]
+        if _stats is not None:
+            _stats["within_verified"] = len(tau_map) - len(redo)
+            _stats["within_fallbacks"] = list(redo)
+        for qid in redo:
+            qstr = " ".join(
+                qmap[qid]
+                + ["-" + t for t in qneg[qid]]
+                + ["~" + t for t in qless[qid]]
+            )
+            fixed = search(
+                spark, wh, qstr, k=k, mode=mode, prune=False, within=within_docs
+            ).collect()
+            by_q[qid] = [
+                {"query_id": qid, "doc_id": r["doc_id"], "score": r["score"]} for r in fixed
+            ]
+        flat = [
+            (str(r["query_id"]), int(r["doc_id"]), float(r["score"]))
+            for rs in by_q.values()
+            for r in rs
+        ]
+        flat.sort(key=lambda x: (x[0], -x[2], x[1]))
+        if not flat:
+            return empty
+        return _values_df(
+            spark,
+            [f"({_sql_str(q)}, {d}L, {_sql_double(s)})" for q, d, s in flat],
+            "query_id, doc_id, score",
+        )
+    return out
 
 
 # ----------------------------------------------------- query instrumentation

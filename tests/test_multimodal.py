@@ -128,16 +128,100 @@ def test_decode_wav_roundtrip_and_stereo_mix():
 
 
 def test_real_image_features_native(spark):
-    """decode='real' works end-to-end on BMP payloads with NO codec lib:
-    channel means match a numpy ground truth computed from the pixels."""
+    """decode='real' works end-to-end on BMP AND compressed PNG payloads
+    with NO codec lib: channel means match a numpy ground truth computed
+    from the pixels."""
     media = mm.synth_real_media(spark, 12).cache()
     feats = {r["media_id"]: r for r in mm.decode_image_features(media, decode="real").collect()}
     src = {r["media_id"]: bytes(r["payload"]) for r in media.filter(F.col("kind") == "image").collect()}
     assert set(feats) == set(src)
+    assert any(p.startswith(b"\x89PNG") for p in src.values())  # real compressed rows
     for mid, payload in src.items():
-        rgb = mm.decode_bmp(payload).astype(np.float64) / 255.0
+        arr = mm.decode_bmp(payload)
+        if arr is None:
+            arr = mm.decode_png(payload)
+        rgb = arr.astype(np.float64) / 255.0
         assert abs(feats[mid]["mean_r"] - rgb[:, :, 0].mean()) < 1e-12
         assert abs(feats[mid]["mean_b"] - rgb[:, :, 2].mean()) < 1e-12
+
+
+def test_decode_png_roundtrip_and_filters():
+    """encode_png -> decode_png is lossless; decode handles ALL five
+    scanline filters (forward-filtered streams built by hand), gray,
+    RGBA (alpha dropped) and palette color types; truncated / foreign
+    bytes return None."""
+    import zlib
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (11, 9, 3)).astype(np.uint8)
+    assert (mm.decode_png(mm.encode_png(rgb)) == rgb).all()
+
+    # hand-filter the same image with each filter type per row
+    h, w, ch = rgb.shape
+    stride = w * ch
+    flat = rgb.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        b = prev
+        c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - a) & 0xFF
+        elif f == 2:
+            enc = (cur - b) & 0xFF
+        elif f == 3:
+            enc = (cur - (a + b) // 2) & 0xFF
+        else:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            enc = (cur - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert (mm.decode_png(png) == rgb).all()
+
+    # gray (ct=0): replicated to 3 channels
+    g = rng.randint(0, 256, (5, 4)).astype(np.uint8)
+    graw = b"".join(b"\x00" + g[y].tobytes() for y in range(5))
+    ihdr_g = (4).to_bytes(4, "big") + (5).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    png_g = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_g)
+             + chunk(b"IDAT", zlib.compress(graw)) + chunk(b"IEND", b""))
+    out_g = mm.decode_png(png_g)
+    assert (out_g[:, :, 0] == g).all() and (out_g[:, :, 2] == g).all()
+
+    # RGBA (ct=6): alpha dropped
+    rgba = rng.randint(0, 256, (3, 3, 4)).astype(np.uint8)
+    araw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    ihdr_a = (3).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    png_a = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_a)
+             + chunk(b"IDAT", zlib.compress(araw)) + chunk(b"IEND", b""))
+    assert (mm.decode_png(png_a) == rgba[:, :, :3]).all()
+
+    # palette (ct=3)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (6, 5)).astype(np.uint8)
+    praw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    ihdr_p = (5).to_bytes(4, "big") + (6).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    png_p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_p)
+             + chunk(b"PLTE", pal.tobytes())
+             + chunk(b"IDAT", zlib.compress(praw)) + chunk(b"IEND", b""))
+    assert (mm.decode_png(png_p) == pal[idx]).all()
+
+    assert mm.decode_png(b"notapng") is None
+    assert mm.decode_png(mm.encode_png(rgb)[:40]) is None
 
 
 def test_real_audio_features_native(spark):

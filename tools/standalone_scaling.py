@@ -53,7 +53,7 @@ spark.range(1_000_000).selectExpr("sum(id)").collect()  # executor warm-up
 t0 = time.time()
 build_index(
     spark, corpus, wh_dir,
-    n_buckets=8, block_size=128, hot_df=2048, n_salts=4,
+    n_buckets="auto", block_size=128, hot_df=2048, n_salts=4,
     run_id=f"standalone{cores}", input_id=corpus, resume=False, from_html=True,
 )
 print(f"BUILD_SECONDS={time.time() - t0:.3f}", flush=True)
@@ -222,17 +222,29 @@ def _submit_build(cluster_url: str, zip_path: str, job_path: str, corpus: str,
 
 
 def run_standalone_scaling(
-    n_docs: int = 200_000, reps: int = 2, deadline_s: float = 480.0
+    n_docs: int = 200_000,
+    reps: int = 2,
+    deadline_s: float = 480.0,
+    max_attempts: int = 2,
+    probe_tol: float = 0.05,
 ) -> dict:
     """Build at 1-executor (N) and 4-executor (4N) cluster sizes; returns
     {'docs_per_sec_1x', 'docs_per_sec_4x', 'efficiency', 'top10_identical',
     'build_secs': {...}} — best-of-`reps`, sizes interleaved.
 
-    deadline_s bounds the whole measurement: later reps are skipped once
-    the deadline passes (each size always completes at least once). The
+    deadline_s bounds EACH attempt: later reps are skipped once the
+    deadline passes (each size always completes at least once). The
     caller (bench.py, inside the driver's budget) must always reach its
     final metric line — a throttle-phase 1-executor build can take 2-3x
-    its healthy wall, and four of those would otherwise stack up."""
+    its healthy wall, and four of those would otherwise stack up.
+
+    STABLE-PHASE protocol (VERDICT r6 #7): the efficiency number is only
+    engine evidence when the machine phase held still across the
+    measurement — i.e. the before/after memcpy probes agree. When they
+    disagree by more than probe_tol, the whole pair is re-measured (up
+    to max_attempts); the returned row carries `probes_stable` and
+    `attempts` so a phase-swing row can never be silently read as an
+    engine number."""
     sys.path.insert(0, REPO)
     import bench  # reuses the deterministic tmpfs corpus cache
 
@@ -244,41 +256,52 @@ def run_standalone_scaling(
     with open(job_path, "w") as f:
         f.write(_JOB)
 
-    # in-row environment attribution: the multi-worker bandwidth throttle
-    # engages under sustained load mid-session (BENCH phase studies), so
-    # this measurement carries its OWN same-moment memcpy probes — the
-    # efficiency below is only meaningful against probe['eff_4_16']
-    ctl_before = bench.memcpy_control()
-    t_start = time.time()
-    best = {4: float("inf"), 16: float("inf")}
-    allsecs: dict[int, list[float]] = {4: [], 16: []}
-    tops: dict[int, str] = {}
-    with StandaloneCluster(n_workers=4, cores_per_worker=4) as cl:
-        for rep in range(reps):
-            if rep > 0 and time.time() - t_start > deadline_s:
-                break  # both sizes already measured once; stay in budget
-            for cores in (4, 16):
-                sec, top = _submit_build(cl.url, zip_path, job_path, corpus, cores)
-                allsecs[cores].append(round(sec, 3))
-                best[cores] = min(best[cores], sec)
-                tops[cores] = top
-    ctl_after = bench.memcpy_control()
-    thru1, thru4 = n_docs / best[4], n_docs / best[16]
-    return {
-        "n_docs": n_docs,
-        "executors_1x": 1, "executors_4x": 4, "executor_cores": 4,
-        "build_secs_1x": allsecs[4], "build_secs_4x": allsecs[16],
-        "docs_per_sec_1x": round(thru1, 1),
-        "docs_per_sec_4x": round(thru4, 1),
-        "efficiency": round((thru4 / thru1) / 4.0, 3),
-        "top10_identical": tops[4] == tops[16],
-        "memcpy_before": ctl_before,
-        "memcpy_after": ctl_after,
-        "protocol": "REAL standalone cluster (1 master + 4x4-core worker JVMs), "
-                    "spark-submit --py-files, fixed 4-core executors, "
-                    f"best-of-{reps} interleaved; read efficiency against the "
-                    "same-moment memcpy eff_4_16 probes",
-    }
+    attempts = 0
+    result: dict = {}
+    while attempts < max_attempts:
+        attempts += 1
+        # in-row environment attribution: the multi-worker bandwidth
+        # throttle engages under sustained load mid-session (BENCH phase
+        # studies), so each attempt carries its OWN same-moment memcpy
+        # probes — the efficiency is only meaningful against eff_4_16
+        ctl_before = bench.memcpy_control()
+        t_start = time.time()
+        best = {4: float("inf"), 16: float("inf")}
+        allsecs: dict[int, list[float]] = {4: [], 16: []}
+        tops: dict[int, str] = {}
+        with StandaloneCluster(n_workers=4, cores_per_worker=4) as cl:
+            for rep in range(reps):
+                if rep > 0 and time.time() - t_start > deadline_s:
+                    break  # both sizes already measured once; stay in budget
+                for cores in (4, 16):
+                    sec, top = _submit_build(cl.url, zip_path, job_path, corpus, cores)
+                    allsecs[cores].append(round(sec, 3))
+                    best[cores] = min(best[cores], sec)
+                    tops[cores] = top
+        ctl_after = bench.memcpy_control()
+        thru1, thru4 = n_docs / best[4], n_docs / best[16]
+        eb, ea = ctl_before.get("eff_4_16"), ctl_after.get("eff_4_16")
+        stable = eb is not None and ea is not None and abs(eb - ea) <= probe_tol
+        result = {
+            "n_docs": n_docs,
+            "executors_1x": 1, "executors_4x": 4, "executor_cores": 4,
+            "build_secs_1x": allsecs[4], "build_secs_4x": allsecs[16],
+            "docs_per_sec_1x": round(thru1, 1),
+            "docs_per_sec_4x": round(thru4, 1),
+            "efficiency": round((thru4 / thru1) / 4.0, 3),
+            "top10_identical": tops[4] == tops[16],
+            "memcpy_before": ctl_before,
+            "memcpy_after": ctl_after,
+            "probes_stable": stable,
+            "attempts": attempts,
+            "protocol": "REAL standalone cluster (1 master + 4x4-core worker JVMs), "
+                        "spark-submit --py-files, fixed 4-core executors, "
+                        f"best-of-{reps} interleaved; engine evidence only when "
+                        f"probes_stable (before/after memcpy eff_4_16 within {probe_tol})",
+        }
+        if stable:
+            break
+    return result
 
 
 if __name__ == "__main__":
