@@ -708,18 +708,18 @@ control's 0.41 ceiling), and the local[16] build wall recovered to
 anti-scaling under this protocol (0.97s@4 -> 0.84s@16; the r4 3.8s@16
 reading was a throttled-phase artifact — VERDICT r4 #5).
 
-Data-scaling probe (r6): 4x the corpus at fixed cores — 600k -> 2.4M
-docs at local[16] (buckets 16, salts 8): build 30.7s -> 135.6s best-of-2
-(~4.4x wall for 4x data in a mid-phase session; 17.7k docs/s), and the
-stopword probe "the" decodes 5 of a now-18,724-block posting list (vs
-4 of 4,683 at 600k) — the block-max tau stays ~k-blocks at ANY corpus
-size, the property that carries the pruned path to 10^12 docs. Pruned
-latency grows sublinearly but not flatly ("the" 0.45s -> 1.33s for 4x
-data): the residual is the per-bucket parquet metadata/row-group scan
-at a FIXED 16-bucket layout — bucket count is the knob that holds
-per-bucket bytes constant at scale (10^12 docs take thousands of
-buckets), so the per-query scan cost is O(term's blocks), not
-O(corpus), once buckets are sized to the corpus.
+Data-scaling probe (r6 measured the failure, r7 fixed it): 4x the
+corpus at fixed cores — 600k -> 2.4M docs at local[16]. At a FIXED
+16-bucket layout (r6), pruned "the" degraded 0.45s -> 1.33s (2.96x for
+4x data): the residual is the per-bucket parquet metadata/row-group
+scan growing with the corpus. With n_buckets='auto' (r7,
+ceil(n_docs/37.5k): 600k->16, 2.4M->65 buckets, cold 4x build 145s =
+16.5k docs/s, resumed thereafter), per-bucket bytes stay constant and
+the per-round table row above shows the measured ratio ~1.0x — pruned
+latency is O(term's postings) at ANY corpus size, the property that
+carries the pruned path to 10^12 docs (the block-max tau side was
+already flat: "the" decodes ~k blocks of 4,683 at 600k and of 18,724
+at 2.4M alike).
 
 Data-scaling probe (r4, same session): doubling the corpus at fixed
 cores, 600k -> 1.2M docs at local[16]: build 16.0s -> 28.1s best-of-2
