@@ -746,13 +746,15 @@ def test_search_snippets_match_twin(spark, wh, pyidx, q, window):
         assert r["snippet"] == " ".join(toks[s - 1 : s - 1 + 2 * window + 1])
 
 
-def test_randomized_and_shapes_match_oracle(spark, wh, pyidx):
-    """Seeded random sweep over CONJUNCTIVE shapes (2-3 positive terms
-    from mixed df strata, optional '-term'): mode='and' search,
-    exhaustive AND pruned, must match the python oracle for every
-    sampled shape — the conjunctive planner routes each shape to
-    candidate-driven / probe-tau / exhaustive, now with the r6 neg
-    composition, and all routes must agree."""
+def test_randomized_and_compound_shapes_match_oracle(spark, wh, pyidx):
+    """Seeded random sweep over COMPOUND conjunctive shapes (2-3
+    positive terms from mixed df strata, optional '-term', optional
+    '~term' — the r6/r7 compositions): mode='and' search, exhaustive
+    AND pruned, must match the python oracle for every sampled shape —
+    the conjunctive planner routes each to candidate-driven (now
+    carrying neg and less) / probe-tau / exhaustive, and all routes
+    must agree. (This test was previously silently SHADOWED by a
+    same-named later sweep — renamed so both run.)"""
     rng = np.random.RandomState(20260818)
     terms = sorted(pyidx.postings, key=lambda t: -len(pyidx.postings[t]))
     hot, mid, rare = terms[:5], terms[5:50], terms[50:400]
@@ -761,11 +763,16 @@ def test_randomized_and_shapes_match_oracle(spark, wh, pyidx):
         return pool[int(rng.randint(len(pool)))]
 
     queries = []
-    for _ in range(10):
+    for _ in range(12):
         pos = [pick((hot, mid, rare)[int(rng.randint(3))]) for _ in range(2 + int(rng.randint(2)))]
         q = " ".join(dict.fromkeys(pos))
-        if rng.rand() < 0.4:
+        r = rng.rand()
+        if r < 0.35:
             q += f" -{pick((hot, mid)[int(rng.randint(2))])}"
+        elif r < 0.6:
+            q += f" ~{pick((hot, mid)[int(rng.randint(2))])}"
+        if rng.rand() < 0.2:  # occasionally BOTH compositions at once
+            q += f" ~{pick(mid)}"
         queries.append(q)
 
     for q in queries:
@@ -1427,15 +1434,38 @@ def test_randomized_within_shapes_match_oracle(spark, wh, pyidx):
 
     preds = list(slices)
     n_all = len(pyidx.doc_len)
+    sampled: list[tuple[str, str]] = []
     for _ in range(10):
         pos = [pick((hot, mid, rare)[int(rng.randint(3))]) for _ in range(1 + int(rng.randint(3)))]
         q = " ".join(dict.fromkeys(pos))
-        if rng.rand() < 0.35:
+        r = rng.rand()
+        if r < 0.35:
             q += f" -{pick((hot, mid)[int(rng.randint(2))])}"
+        elif r < 0.55:  # within+'~less' composes too (r7)
+            q += f" ~{pick((hot, mid)[int(rng.randint(2))])}"
         pred = preds[int(rng.randint(len(preds)))]
+        sampled.append((q, pred))
         keep = slices[pred]
         full = bm25_topk(pyidx, q, k=n_all + 1)
         want = [(d, s) for d, s in full if d in keep][:7]
         for kw in ({"prune": False}, {"prune": True}, {"prune": True, "probe": True}):
             got = search(spark, wh, q, k=7, within=pred, **kw).collect()
             assert_rank_identical(got, want), (q, pred, kw)
+
+    # batch-within (r7): one PRUNED shared scan per predicate group with
+    # the batched verification must agree with per-query search
+    from lsearch_spark.query import batch_search
+
+    for pred in preds:
+        group = {f"q{i}": q for i, (q, p) in enumerate(sampled) if p == pred}
+        if not group:
+            continue
+        got_b = batch_search(spark, wh, group, k=7, within=pred).collect()
+        by_q: dict[str, list] = {}
+        for r in got_b:
+            by_q.setdefault(r["query_id"], []).append({"doc_id": r["doc_id"], "score": r["score"]})
+        keep = slices[pred]
+        for qid, q in group.items():
+            full = bm25_topk(pyidx, q, k=n_all + 1)
+            want = [(d, s) for d, s in full if d in keep][:7]
+            assert_rank_identical(by_q.get(qid, []), want), (pred, q)
