@@ -29,7 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument("--input", required=True, help="parquet path with pages schema")
     b.add_argument("--warehouse", required=True)
-    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--buckets", default="auto",
+                   help="term-bucket count; 'auto' (default) sizes to the corpus "
+                        "(ceil(n_docs/37.5k), floor 8) so per-bucket bytes stay "
+                        "constant as data grows")
+    b.add_argument("--bucket-layout", choices=["compact", "aligned"], default="compact",
+                   help="'compact' (default): second repartition, one file per bucket "
+                        "(lowest query open cost); 'aligned': bucket-aligned merge key, "
+                        "no second shuffle of the posting volume (cluster-scale choice)")
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--hot-df", type=int, default=100_000)
     b.add_argument("--salts", type=int, default=16)
@@ -111,9 +118,11 @@ def main(argv: list[str] | None = None) -> int:
         # splits python-side when the input is a bare parquet dir
         build_index(
             spark, args.input, args.warehouse,
-            n_buckets=args.buckets, block_size=args.block_size, hot_df=args.hot_df,
+            n_buckets=args.buckets if args.buckets == "auto" else int(args.buckets),
+            block_size=args.block_size, hot_df=args.hot_df,
             n_salts=args.salts, run_id=args.run_id,
             input_id=args.input_id or args.input, resume=not args.no_resume,
+            bucket_layout=args.bucket_layout,
         )
         print(f"index built at {args.warehouse}")
     elif args.cmd == "search":
