@@ -277,3 +277,32 @@ def test_append_from_path_equals_append_from_dataframe(spark, tmp_path):
         ra = [tuple(r) for r in search(spark, wh_df, q, k=10).collect()]
         rb = [tuple(r) for r in search(spark, wh_path, q, k=10).collect()]
         assert ra == rb and ra
+
+
+def test_warm_postings_cache_and_append_invalidation(spark, tmp_path):
+    """warm_postings pins the posting relations in executor memory:
+    warm results must equal cold ones exactly, and an append must
+    invalidate the cache (the post-append query sees the new segment,
+    never the stale cached table)."""
+    from lsearch_spark.query import warm_postings
+
+    root = str(tmp_path / "warmwh")
+    wh = build_index(
+        spark, pages_df(spark, 120), root,
+        n_buckets=4, block_size=32, hot_df=64, n_salts=4, input_id="warm120",
+    )
+    cold = [tuple(r) for r in search(spark, wh, "the", k=10).collect()]
+    n = warm_postings(spark, wh)
+    assert n > 0
+    warm = [tuple(r) for r in search(spark, wh, "the", k=10).collect()]
+    assert warm == cold
+    # idempotent: a second call persists nothing new
+    assert warm_postings(spark, wh) == 0
+    # append invalidates: new docs must be visible immediately
+    append_index(spark, _pages_b(spark), wh, from_html=False)
+    post = search(spark, wh, "flux", k=10).collect()
+    # appended docs visible (every appended doc contains 'flux'; base
+    # docs may too — the stale cache would show NONE of the new ids)
+    assert post and any(r["doc_id"] >= SHIFT for r in post)
+    post_ex = search(spark, wh, "flux", k=10, prune=False).collect()
+    assert [tuple(r) for r in post] == [tuple(r) for r in post_ex]
