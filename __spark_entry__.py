@@ -27,7 +27,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lsearch_spark import sources
@@ -53,6 +53,10 @@ def _lower_sql(c: str = "text") -> str:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,6 +821,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _events(s, d).groupBy("event_type").agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
 
+    # --- generic relational ops on the TPC-H tables (r7): scan+agg with
+    # predicate pushdown, a 3-way dim join (Catalyst broadcasts the dims
+    # when small; shuffle-joins at scale), and a per-group window.
+    # Money sums are integer-scaled (cents as bigint) BEFORE summing so
+    # every aggregate is order-independent across engines/partitionings
+    # (the source_doc_stats lesson).
+    def _cents(col):
+        return F.round(F.col(col) * 100, 0).cast("long")
+
+    q["tpch_q1_pricing"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0).cast("long")
+            ).alias("sum_disc_micros"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    q["tpch_orders_by_nation"] = lambda s, d: (
+        _t(s, d, "orders")
+        .join(_t(s, d, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_t(s, d, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).alias("total_cents"))
+    )
+    q["tpch_top_customers_per_nation"] = lambda s, d: (
+        _t(s, d, "customer")
+        .join(F.broadcast(_t(s, d, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "c_custkey", _cents("c_acctbal").alias("acctbal_cents"))
+    )
+
     # The driver checks entries in registration order under a budget (~50 of
     # 66), so front-load: (1) the one row that came back RED in r6
     # (source_doc_stats — now order-independent, must re-witness), (2) the
@@ -827,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "source_doc_stats",
         "bm25_and_less_top10", "bm25_neg_less_top10",
+        "tpch_q1_pricing", "tpch_orders_by_nation", "tpch_top_customers_per_nation",
         "phrase_prox_docs", "dedup_exact_groups", "dedup_kept_ids",
         "jaccard_consecutive", "minhash_near_dups", "contamination_pairs",
         "simhash_near_dups", "simhash_complete", "ann_cosine_top10",
@@ -1423,6 +1470,34 @@ ORDER BY s DESC, doc_id LIMIT 10
         "bm25_less_top10": _bm25_less_sql("data", "query"),
         "bm25_and_less_top10": _bm25_full_sql(["dup", "batch"], [], ["small"], mode="and"),
         "bm25_neg_less_top10": _bm25_full_sql(["data"], ["query"], ["filter"]),
+        "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_disc_micros,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_orders_by_nation": """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "tpch_top_customers_per_nation": """
+SELECT n_name, rk, c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+""",
         "bm25_batch_ops_top10": (
             f"SELECT 'q1' AS query_id, doc_id, score FROM ({_bm25_less_sql('data', 'query')}) "
             f"UNION ALL SELECT 'q2' AS query_id, doc_id, score FROM ({_bm25_neg_sql('scan', 'batch')})"
