@@ -687,7 +687,20 @@ interleaved best-of pair can land anywhere at or below the higher
 probe (observed: 0.258 between probes of 0.815 and 0.536 — the 1x and
 4x legs caught different phases). Disagreeing-probe rows are phase
 evidence, not engine evidence; the stable-probe observation is the
-engine's number.
+engine's number. Since r7 the runner enforces this protocol itself:
+it re-measures the whole pair (up to max_attempts) until the
+bracketing probes agree within 0.05 and stamps every row with
+probes_stable/attempts — an unstable row can no longer be silently
+read as an engine number. r7's dedicated stable-probe observation
+(idle machine, probes 0.752/0.703, delta 0.049): efficiency 0.467,
+top10_identical true, 1x best 60.7s / 4x best 32.5s — the 1-executor
+vs 4-executor pair carries ~10s of per-submit fixed overhead
+(executor JVM + python-pool spin-up + warm-up job) on BOTH legs, which
+burdens the short 4x leg proportionally more; netting that fixed cost
+out puts the pair at ~0.58 against the session's ~0.72 bandwidth
+ceiling, consistent with the local[4]->local[16] reading. The stable
+r6 observation 0.524 == ceiling 0.526 remains the cleanest
+engine-at-ceiling evidence.
 
 Scaling-efficiency reading (r5): the ENGINE-KERNEL control runs the
 extract feed's OWN code (pyarrow split read -> html strip -> arrow
