@@ -161,6 +161,15 @@ def _wh_state(spark: SparkSession, wh: Warehouse) -> dict:
         st = {
             "cfg": cfg,
             "stats": wh.corpus_stats(spark),
+            "plans": {},  # resolved-plan memo: (query, k, mode, prune,
+            # probe, with_url, within) -> lazy top-k DataFrame (or the
+            # pre-verification plan + tau for neg/within pruned shapes).
+            # A repeated interactive query then skips parsing, planning,
+            # py4j plan construction and Catalyst analysis entirely —
+            # every collect still re-executes the physical plan from the
+            # parquet inputs (plans are cached, never results), and the
+            # memo dies with the warehouse state on append/rebuild
+            # (invalidate_cache) exactly like the stats memos above.
             "buckets": {},
             "dfs": {},  # per-term document frequency (scale-safe memo:
             # only queried terms, never the full term_stats table)
@@ -311,6 +320,82 @@ def warm_postings(
         n += rel.count()
         persisted.append(rel)
     return n
+
+
+def _empty_results(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], RESULT_SCHEMA)
+
+
+def _empty_batch_results(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+
+def _plan_cache_put(st: dict, key, entry: dict) -> None:
+    plans = st.setdefault("plans", {})
+    if len(plans) >= 512:  # bound driver memory; a serving session's
+        plans.clear()  # working set is far smaller than the cap
+    plans[key] = entry
+
+
+def _attach_url(spark: SparkSession, st: dict, root: str, topk: DataFrame) -> DataFrame:
+    """topk -> (doc_id, score, url) via the broadcast docs join (the
+    docs relation is memoized in the warehouse state so repeated
+    with_url queries re-list no parquet metadata)."""
+    docs = st.get("docs_rel")
+    if docs is None:
+        docs = catalog.read_table(spark, root, "docs").select("doc_id", "url")
+        st["docs_rel"] = docs
+    return (
+        F.broadcast(topk).join(docs, "doc_id")
+        .select("doc_id", "score", "url")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _replay_cached_batch(spark: SparkSession, wh: Warehouse, hit: dict) -> DataFrame:
+    """Serve a repeated batch from its memoized plan. kind='df' is the
+    fully-lazy shared-scan plan (collect re-executes it). kind='routed'
+    re-invokes search() for every routed-out query (each re-runs its own
+    pruned job + verification via the search plan memo) and rebuilds the
+    union — routed results are never frozen into the cached plan."""
+    if hit["kind"] == "df":
+        return hit["df"]
+    parts = []
+    for qid, qstr in hit["routed"]:
+        res = search(spark, wh, qstr, k=hit["k"], mode=hit["mode"], prune=True)
+        parts.append(res.select(F.lit(qid).alias("query_id"), "doc_id", "score"))
+    rdf = parts[0]
+    for p in parts[1:]:
+        rdf = rdf.unionAll(p)
+    out = rdf if hit["shared"] is None else hit["shared"].unionAll(rdf)
+    return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+
+def _replay_cached_search(spark: SparkSession, st: dict, hit: dict) -> DataFrame:
+    """Serve a repeated query from its memoized plan. kind='df' returns
+    the lazy plan as-is (collect re-executes it). kind='verify'
+    (pruned negation / within) RE-RUNS the pruned job and the
+    a-posteriori verification on every call — only the plan and tau are
+    reused, never the rows — and falls back to the (memoized lazy)
+    exhaustive plan on a shortfall, exactly like the first call."""
+    if hit["kind"] == "df":
+        return hit["df"]
+    rows = hit["pre"].collect()
+    if len(rows) == hit["k"] and float(rows[-1]["score"]) >= hit["tau"]:
+        topk = _values_df(
+            spark,
+            [f"({int(r['doc_id'])}L, {_sql_double(r['score'])})" for r in rows],
+            "doc_id, score",
+        )
+    else:
+        fb = hit.get("fallback")
+        if fb is None:
+            fb = hit["fallback_fn"]()
+            hit["fallback"] = fb
+        topk = fb
+    if hit["with_url"]:
+        topk = _attach_url(spark, st, hit["root"], topk)
+    return topk
 
 
 def _term_buckets(spark: SparkSession, st: dict, terms: list[str]) -> dict[str, int]:
@@ -1056,14 +1141,28 @@ def search(
     """
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
+    # resolved-plan memo (keyed on the RAW query string, so wildcard/
+    # fuzzy expansion is amortized too): instrumented calls and
+    # DataFrame-valued within (no stable key) bypass it
+    pkey = None
+    if _stats is None and (within is None or isinstance(within, str)):
+        pkey = (query, int(k), mode, bool(prune), probe, bool(with_url), within)
+        hit = st.setdefault("plans", {}).get(pkey)
+        if hit is not None:
+            return _replay_cached_search(spark, st, hit)
+
+    def _cache_df(df: DataFrame) -> DataFrame:
+        if pkey is not None:
+            _plan_cache_put(st, pkey, {"kind": "df", "df": df})
+        return df
+
     if _needs_rewrite(query):
         query = expand_wildcards(spark, wh, query)
     pos, neg, less = parse_query(query)
-    empty = spark.createDataFrame([], RESULT_SCHEMA)
     if _stats is not None:
         _stats.update({"query": query, "k": k, "mode": mode, "prune": prune, "terms": [], "tau": None})
     if not pos:
-        return empty
+        return _cache_df(_empty_results(spark))
 
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
@@ -1074,7 +1173,7 @@ def search(
     if _stats is not None:
         _stats["terms"] = live
     if not live or (mode == "and" and len(live) < len(pos)):
-        return empty
+        return _cache_df(_empty_results(spark))
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
     within_docs = None
@@ -1148,7 +1247,7 @@ def search(
             # covers any filter/term correlation.
             n_within = within_docs.count()
             if n_within == 0:
-                return empty
+                return _cache_df(_empty_results(spark))
             keep_frac = min(1.0, n_within / max(n_docs, 1))
         if neg:
             # excluded docs can knock out up to sum(df_neg)/n of tau's
@@ -1312,7 +1411,7 @@ def search(
                 if within_docs is not None:
                     n_within = within_docs.count()
                     if n_within == 0:
-                        return empty
+                        return _cache_df(_empty_results(spark))
                     keep = max(min(1.0, n_within / max(n_docs, 1)), 1e-9)
                     k_eff_and = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep)
                 tau = _probe_tau_and(spark, st, wh, live, idf_map, avgdl, k_eff_and)
@@ -1376,7 +1475,22 @@ def search(
 
     topk = _mk_topk(blocks)
 
-    if pruned and (neg or within_docs is not None) and tau > float("-inf"):
+    needs_verify = pruned and (neg or within_docs is not None) and tau > float("-inf")
+    if needs_verify and pkey is not None:
+        # memoize the PRE-verification plan + tau (+ a lazy exhaustive
+        # fallback builder): a repeated call re-executes the pruned job
+        # and the a-posteriori check every time — plan reuse, not
+        # result reuse
+        _plan_cache_put(
+            st,
+            pkey,
+            {
+                "kind": "verify", "pre": topk, "tau": tau, "k": k,
+                "with_url": bool(with_url), "root": wh.root,
+                "fallback_fn": lambda: _mk_topk(_postings_for(spark, wh, st, live)),
+            },
+        )
+    if needs_verify:
         # A-POSTERIORI VERIFICATION (exactness proof for pruned negation):
         # every kept doc with POSITIVE-sum score >= tau has ALL its
         # blocks kept (the block filter keeps any block whose bound
@@ -1419,12 +1533,9 @@ def search(
             topk = _mk_topk(blocks)
 
     if with_url:
-        docs = catalog.read_table(spark, wh.root, "docs").select("doc_id", "url")
-        topk = (
-            F.broadcast(topk).join(docs, "doc_id")
-            .select("doc_id", "score", "url")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        topk = _attach_url(spark, st, wh.root, topk)
+    if not needs_verify:
+        return _cache_df(topk)
     return topk
 
 
@@ -1514,6 +1625,34 @@ def batch_search(
 
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     st = _wh_state(spark, wh)
+    # batch plan memo (mirror of search()'s): keyed on the ordered
+    # (query_id, query) tuple. Routed-out queries are NOT frozen into
+    # the cached plan — replay re-invokes search() for each (which
+    # re-executes its pruned job + a-posteriori verification), so reuse
+    # is strictly plan-level. Instrumented / within calls bypass.
+    bkey = None
+    if _stats is None and within is None:
+        items_t = (
+            tuple((str(a), b) for a, b in queries.items())
+            if isinstance(queries, dict)
+            else tuple(queries)
+        )
+        bkey = (items_t, int(k), mode, bool(prune))
+        bhit = st.setdefault("bplans", {}).get(bkey)
+        if bhit is not None:
+            return _replay_cached_batch(spark, wh, bhit)
+
+    def _bcache_put(entry: dict) -> None:
+        if bkey is not None:
+            plans = st["bplans"]
+            if len(plans) >= 256:
+                plans.clear()
+            plans[bkey] = entry
+
+    def _bcache_df(df: DataFrame) -> DataFrame:
+        _bcache_put({"kind": "df", "df": df})
+        return df
+
     qmap: dict[str, list[str]] = {}
     qneg: dict[str, list[str]] = {}
     qless: dict[str, list[str]] = {}
@@ -1525,18 +1664,17 @@ def batch_search(
         qmap[str(qid)] = pos
         qneg[str(qid)] = neg
         qless[str(qid)] = less
-    empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
     all_terms = sorted({t for ts in qmap.values() for t in ts})
     all_neg = sorted({t for ts in qneg.values() for t in ts})
     all_less = sorted({t for ts in qless.values() for t in ts})
     if not all_terms:
-        return empty
+        return _bcache_df(_empty_batch_results(spark))
     stats = st["stats"]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     dfs = _term_dfs(spark, st, wh, all_terms + all_neg + all_less)
     live = sorted(t for t in all_terms if t in dfs)
     if not live:
-        return empty
+        return _bcache_df(_empty_batch_results(spark))
     idf_map = {t: _idf(n_docs, dfs[t]) for t in live}
 
     within_docs = None
@@ -1583,7 +1721,7 @@ def batch_search(
         if bstats is not None and within_docs is not None:
             n_within = within_docs.count()
             if n_within == 0:
-                return empty
+                return _empty_batch_results(spark)
             keep_within = max(min(1.0, n_within / max(n_docs, 1)), 1e-9)
             k_theta = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep_within)
     if bstats is not None:
@@ -1689,6 +1827,7 @@ def batch_search(
             base = _shared_cost(set(routed_out))
 
     routed_df = None
+    routed_specs: list[tuple[str, str]] = []
     if routed_out:
         parts = []
         for qid in routed_out:
@@ -1697,6 +1836,7 @@ def batch_search(
                 + ["-" + t for t in qneg[qid]]
                 + ["~" + t for t in qless[qid]]
             )
+            routed_specs.append((qid, qstr))
             # within rides along: the routed query must honor the same
             # batch-global docset (search prunes + verifies it itself)
             res = search(spark, wh, qstr, k=k, mode=mode, prune=True, within=within_docs)
@@ -1718,8 +1858,11 @@ def batch_search(
                  "routed_out": list(routed_out)}
             )
         if routed_df is not None:
+            _bcache_put(
+                {"kind": "routed", "shared": None, "routed": routed_specs, "k": k, "mode": mode}
+            )
             return routed_df.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
-        return empty
+        return _bcache_df(_empty_batch_results(spark))
     qterms = _values_df(
         spark,
         [f"({_sql_str(q)}, {_sql_str(t)}, {int(n)})" for q, t, n in pairs],
@@ -1844,14 +1987,21 @@ def batch_search(
     if within_docs is not None:
         agg = agg.join(within_docs, "doc_id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    out = (
+    shared_out = (
         agg.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", "score")
     )
+    out = shared_out
     if routed_df is not None:
         out = out.unionAll(routed_df)
     out = out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    if routed_specs:
+        _bcache_put(
+            {"kind": "routed", "shared": shared_out, "routed": routed_specs, "k": k, "mode": mode}
+        )
+    else:
+        _bcache_df(out)
 
     if within_docs is not None and plan.startswith("routed-batch") and tau_map:
         # BATCHED a-posteriori verification (r7): the shared scan pruned
@@ -1901,7 +2051,7 @@ def batch_search(
         ]
         flat.sort(key=lambda x: (x[0], -x[2], x[1]))
         if not flat:
-            return empty
+            return _empty_batch_results(spark)
         return _values_df(
             spark,
             [f"({_sql_str(q)}, {d}L, {_sql_double(s)})" for q, d, s in flat],
