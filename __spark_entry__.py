@@ -864,21 +864,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # The driver checks entries in registration order under a budget (~50 of
-    # 66), so front-load: (1) the one row that came back RED in r6
-    # (source_doc_stats — now order-independent, must re-witness), (2) the
-    # two NEW r7 entries, (3) the 14 entries r6's rotation pushed out of the
-    # driver window (last driver-green row is r5). Everything else
-    # (driver-green in r6) follows in its original order — the rotation
-    # keeps every entry within at most one round of a driver witness.
+    # 69), so front-load the 19 entries r7's rotation pushed out of the
+    # driver window (all driver-green in r6 and green under the identical
+    # local oracle check since): batch/append/compact/stream bm25,
+    # phrase_match, the textstats/webstats/events/multimodal group.
+    # Everything else (driver-green in r7) follows in its original order —
+    # the rotation keeps every entry within at most one round of a driver
+    # witness (VERDICT r7 #3).
     front = [
-        "source_doc_stats",
-        "bm25_and_less_top10", "bm25_neg_less_top10",
-        "tpch_q1_pricing", "tpch_orders_by_nation", "tpch_top_customers_per_nation",
-        "phrase_prox_docs", "dedup_exact_groups", "dedup_kept_ids",
-        "jaccard_consecutive", "minhash_near_dups", "contamination_pairs",
-        "simhash_near_dups", "simhash_complete", "ann_cosine_top10",
-        "ann_lsh_top10", "ann_lsh_sound", "ann_ivf_top10",
-        "embedding_near_dup_pairs", "ann_ivf_batch_top10",
+        "bm25_batch_top10", "bm25_batch_ops_top10", "bm25_appended_top10",
+        "bm25_compacted_top10", "bm25_streamed_top10", "phrase_match_docs",
+        "embedding_norms", "textstats_quality", "lang_id_counts",
+        "fingerprints", "source_capped_ids", "mixture_sampled_ids",
+        "curation_kept_ids", "pii_scrubbed", "textstats_repetition",
+        "media_image_features", "media_frame_sample",
+        "events_by_minute", "events_type_stats",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -125,6 +125,20 @@ class Warehouse:
             if fsio.exists(p):
                 path = p
                 break
+        if not fsio.has_scheme(path):
+            # single tiny control-plane file, written driver-side by
+            # _write_corpus_stats_at: read it back driver-side too — a
+            # 1-row Spark collect costs a whole scheduler round trip
+            # (~30-90ms) on every cold build stage / query session
+            try:
+                import pyarrow.parquet as pq
+
+                files = fsio.file_sizes(os.path.join(path, "*.parquet"))
+                if files:
+                    t = pq.read_table(files[0][0])
+                    return {c: t[c][0].as_py() for c in t.column_names}
+            except Exception:
+                pass  # fall through to the Spark read
         row = spark.read.parquet(path).collect()[0]
         return row.asDict()
 
@@ -670,31 +684,35 @@ def _flat_direct_scan(spark: SparkSession, docs_dir: str, block_size: int, cpu_a
     pyarrow can't open through fsio; empty/missing listing) — the caller
     falls back to the JVM scan feed.
     """
-    units = _direct_read_units(spark, docs_dir)
-    if units is None:
+    res = _direct_read_units(spark, docs_dir)
+    if res is None:
         return None
+    units, ubc = res
     kern = _make_flat_mapper(block_size)
 
     def feed(batches):
         import pyarrow.parquet as pq
 
+        amap = ubc.value
         for rb in batches:
-            for path, rg in zip(rb["path"].to_pylist(), rb["rg"].to_pylist()):
-                pf = pq.ParquetFile(path)
-                it = pf.iter_batches(
-                    batch_size=8192,
-                    columns=["doc_id", "tokens"],
-                    row_groups=None if rg < 0 else [rg],
-                )
-                for b in it:
-                    yield from kern([b])
+            for tid in rb["id"].to_pylist():
+                for path, rg in amap.get(int(tid), []):
+                    pf = pq.ParquetFile(path)
+                    it = pf.iter_batches(
+                        batch_size=8192,
+                        columns=["doc_id", "tokens"],
+                        row_groups=None if rg < 0 else [rg],
+                    )
+                    for b in it:
+                        yield from kern([b])
 
     return units.mapInArrow(_cpu_timed(feed, cpu_acc), FLAT_SCHEMA)
 
 
-def _direct_read_units(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """Deterministic task layout for a python-side parquet read: one row
-    per unit (task int, path string, rg int; rg=-1 = whole file),
+def _direct_read_units(spark: SparkSession, table_dir: str):
+    """Deterministic task layout for a python-side parquet read:
+    (spark.range(n_tasks) with one partition per task, broadcast of
+    {task id -> [(path, rg)]}; rg=-1 = whole file),
     size-descending round-robin over ~4 tasks/core. When the listing has
     FEWER files than wanted tasks (re-partitioned / compacted layouts),
     units drop to ROW GROUPS (footers read once, driver-side, only in
@@ -726,12 +744,17 @@ def _direct_read_units(spark: SparkSession, table_dir: str) -> DataFrame | None:
     else:
         units = [(path, -1, sz) for path, sz in sizes]
     n_tasks = max(1, min(len(units), want))
-    rows = [
-        (i % n_tasks, path, rg)
-        for i, (path, rg, _) in enumerate(sorted(units, key=lambda u: -u[2]))
-    ]
-    sdf = spark.createDataFrame(rows, "task int, path string, rg int")
-    return sdf.repartition(n_tasks, "task")
+    # one spark.range partition per task + a broadcast of the unit
+    # assignment: ZERO exchanges (the old createDataFrame + repartition
+    # paid an RDD scan and a tiny AQE-materialized shuffle — ~150-200ms
+    # of the stage wall at bench scale — just to co-locate driver-known
+    # rows). The feed looks its units up by task id; round-robin over
+    # size-descending units is unchanged, so builds chunk identically.
+    assign: dict[int, list[tuple[str, int]]] = {}
+    for i, (path, rg, _) in enumerate(sorted(units, key=lambda u: -u[2])):
+        assign.setdefault(i % n_tasks, []).append((path, rg))
+    bc = spark.sparkContext.broadcast(assign)
+    return spark.range(0, n_tasks, 1, n_tasks), bc
 
 
 DOCS_SCHEMA = "doc_id long, url string, warc_ts timestamp, lang string, tokens array<string>"
@@ -754,9 +777,10 @@ def _extract_direct_scan(
     py_tokenize/tokens_col parity and codec.xxhash64/F.xxhash64 parity
     are test-pinned (test_tokenize, test_codec). doc_id: existing column
     cast to long, else XXH64(url) — exactly the JVM path."""
-    units = _direct_read_units(spark, pages_dir)
-    if units is None:
+    res = _direct_read_units(spark, pages_dir)
+    if res is None:
         return None
+    units, ubc = res
     try:
         import pyarrow.parquet as pq
 
@@ -782,8 +806,11 @@ def _extract_direct_scan(
         from .extract import extract_text_series
         from .tokenize import arrow_tokenize, py_tokenize
 
+        amap = ubc.value
         for task_pdf in batches:
-            for path, rg in zip(task_pdf["path"], task_pdf["rg"]):
+            for path, rg in (
+                u for tid in task_pdf["id"] for u in amap.get(int(tid), [])
+            ):
                 pf = pq.ParquetFile(path)
                 it = pf.iter_batches(
                     batch_size=2048, columns=cols, row_groups=None if rg < 0 else [int(rg)]
@@ -866,6 +893,56 @@ def _extracted_docs(
     )
 
 
+def _hot_terms_local(
+    spark: SparkSession, wh: Warehouse, hot_df: int,
+    max_bytes: int = 32 << 20, max_terms: int = 65_536,
+) -> list[str] | None:
+    """Driver-side read of the hot-term set (term_stats.df >= hot_df)
+    when the table is local and small: the blocks stage then skips three
+    small Spark jobs (term_stats scan, broadcast build, impact_terms
+    write — ~0.2s of pure scheduler floor at bench scale) by folding the
+    hot set into the plan as an InSet literal and writing impact_terms
+    driver-side. None when not eligible (Iceberg/scheme'd warehouse,
+    segmented table, or a vocabulary too big for a literal plan — the
+    cluster-scale case, which keeps the broadcast-join path)."""
+    if catalog.iceberg_catalog(spark) is not None or fsio.has_scheme(wh.root):
+        return None
+    if catalog._n_appends(wh.root):
+        return None  # segment-resolved table: keep the Spark read
+    try:
+        files = fsio.file_sizes(os.path.join(wh.path("term_stats"), "*.parquet"))
+    except Exception:
+        return None
+    if not files or sum(sz for _, sz in files) > max_bytes:
+        return None
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        hot: list[str] = []
+        for f, _ in files:
+            t = pq.read_table(f, columns=["term", "df"])
+            hot.extend(t.filter(pc.greater_equal(t["df"], hot_df))["term"].to_pylist())
+            if len(hot) > max_terms:
+                return None
+        return sorted(hot)
+    except Exception:
+        return None
+
+
+def _write_impact_terms_local(wh: Warehouse, terms: list[str]) -> None:
+    """Driver-side impact_terms write (single tiny column), the twin of
+    the catalog.write_table path for the _hot_terms_local case."""
+    import pyarrow as pa
+
+    path = wh.path("impact_terms")
+    fsio.remove(path, recursive=True)
+    fsio.write_parquet_bytes(
+        os.path.join(path, "part-0.parquet"),
+        pa.table({"term": pa.array(sorted(terms), pa.string())}),
+    )
+
+
 def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | None = None) -> int:
     """Partition count for the (term, salt) merge shuffle.
 
@@ -887,6 +964,16 @@ def _merge_parts_default(spark: SparkSession, wh: Warehouse, flat_dir: str | Non
         flat_bytes = sum(sz for _, sz in fsio.file_sizes(os.path.join(d, "*.parquet")))
     except Exception:
         flat_bytes = 0
+    if flat_bytes:
+        # SCALE-ADAPTIVE, not core-count-constant (r8): below ~1MB of
+        # compressed chunk volume per merge task the extra waves are pure
+        # scheduler + Arrow round-trip overhead — measured at 50k docs /
+        # local[16]: 128 parts -> blocks 2.8s vs 32 parts -> 1.6s — while
+        # at real volume many small waves smooth hot-group skew (measured
+        # at 600k docs: 37 parts -> 14.6s vs 128 -> 6.3s; the cap stops
+        # binding at ~128MB of flat bytes and the formula reduces to the
+        # r7 behavior, so cluster-scale plans are unchanged).
+        base = min(base, max(2 * par, int(flat_bytes // (1 << 20))))
     return max(base, int(flat_bytes // (32 << 20)))
 
 
@@ -907,6 +994,28 @@ def auto_buckets(n_docs: int, docs_per_bucket: int = DOCS_PER_BUCKET) -> int:
     buckets; raise docs_per_bucket if file-count ever dominates —
     per-bucket BYTES is the invariant that matters)."""
     return max(8, -(-int(n_docs) // int(docs_per_bucket)))
+
+
+def _resolved_buckets_from_manifest(
+    wh: Warehouse, input_id: str, block_size: int, hot_df: int, n_salts: int,
+    from_html: bool, bucket_layout: str,
+) -> int | None:
+    """n_buckets a previous completed run resolved for the SAME
+    (input_id, config), else None. Sound because the extract manifest's
+    fingerprint folds in input_id and every config field: a match means
+    stage resume would treat the inputs as identical anyway."""
+    cfg = wh.read_manifest("config") or {}
+    nb = cfg.get("n_buckets")
+    if not nb:
+        return None
+    m = wh.read_manifest("extract") or {}
+    want_fp = (
+        f"{input_id}|v{INDEX_FORMAT}|cfg:b{int(nb)}.bs{block_size}.h{hot_df}.s{n_salts}"
+        f".fh{int(bool(from_html))}.kt{K_TOP}.bl{bucket_layout[0]}"
+    )
+    if m.get("ok") and m.get("fingerprint") == want_fp:
+        return int(nb)
+    return None
 
 
 def _input_doc_count(spark: SparkSession, pages: DataFrame | str) -> int:
@@ -998,7 +1107,17 @@ def build_index(
         # concrete int BEFORE the fingerprint so resume stays sound —
         # the same input deterministically yields the same count, hence
         # the same fingerprint; a grown input changes it and rebuilds.
-        n_buckets = auto_buckets(_input_doc_count(spark, pages))
+        # Resume fast path (ADVICE r7): a resumed rerun with the SAME
+        # input_id and config reuses the manifest's resolved n_buckets
+        # instead of re-counting — for DataFrame inputs the count()
+        # re-executed the whole upstream plan on every no-op rerun.
+        # (input_id is the caller's contract that the input is the same
+        # data — exactly what stage resume already relies on.)
+        n_buckets = _resolved_buckets_from_manifest(
+            wh, input_id, block_size, hot_df, n_salts, from_html, bucket_layout
+        ) if resume else None
+        if n_buckets is None:
+            n_buckets = auto_buckets(_input_doc_count(spark, pages))
     n_buckets = int(n_buckets)
     cfg = {
         "n_buckets": n_buckets, "block_size": block_size, "hot_df": hot_df,
@@ -1041,7 +1160,14 @@ def build_index(
             fsio.remove(wh.manifest_path(later))
         return True
 
+    def begin(stage: str) -> float:
+        # label every job of the stage in the UI / REST API (guide §1.5);
+        # thread-local, reset in finish()
+        spark.sparkContext.setJobDescription(f"build:{stage}")
+        return time.time()
+
     def finish(stage, t0, rows, **extra):
+        spark.sparkContext.setJobDescription(None)
         # extra (feed kind, summed task-CPU seconds, ...) rides in the
         # stage manifest — a json file, so new evidence fields never
         # perturb the parquet build_metrics schema older rounds wrote
@@ -1061,7 +1187,7 @@ def build_index(
     # Observation over the write — no extra job, no re-evaluation of the
     # projection (observe aggregates run over the produced rows).
     if stage_runs("extract"):
-        t0 = time.time()
+        t0 = begin("extract")
         extract_cpu = spark.sparkContext.accumulator(0.0)
         dt, extract_feed = _extracted_docs(spark, pages, from_html, cpu_acc=extract_cpu)
         dt, obs = _observed(dt, "extract", F.sum(F.size("tokens")).alias("total_tokens"))
@@ -1079,7 +1205,7 @@ def build_index(
 
     # ---- stage: flat postings ----------------------------------------------
     if stage_runs("flat"):
-        t0 = time.time()
+        t0 = begin("flat")
         # NARROW stage (no shuffle): local partial posting chunks per
         # partition (see _make_flat_mapper). doc_len rides along inside
         # each chunk so scoring never needs a join against the (huge)
@@ -1146,7 +1272,7 @@ def build_index(
 
     # ---- stage: term_stats + corpus_stats ----------------------------------
     if stage_runs("term_stats"):
-        t0 = time.time()
+        t0 = begin("term_stats")
         # chunk rows carry per-chunk (n_docs, cf): term stats aggregate
         # ~1000x fewer rows than per-(term, doc) postings would
         ts = flat.groupBy("term").agg(
@@ -1159,7 +1285,7 @@ def build_index(
 
     # ---- stage: compressed blocks ------------------------------------------
     if stage_runs("blocks"):
-        t0 = time.time()
+        t0 = begin("blocks")
         stats = wh.corpus_stats(spark)
         avgdl = float(stats["avgdl"])
         # pin the WAND basis: stored block_max/min_wand are computed with
@@ -1170,39 +1296,57 @@ def build_index(
         c["n_appends"] = 0  # a (re)build resets the append lineage
         wh.write_manifest("config", c)
         fsio.remove(wh.path("_segments"), recursive=True)  # orphaned epochs
-        hot_terms = (
-            catalog.read_table(spark, wh.root, "term_stats")
-            .filter(F.col("df") >= hot_df)
-            .select("term", F.lit(True).alias("is_hot"))
-        )
         # chunk-level salting: a hot term's postings arrive pre-split
         # into <=4*block_size-doc chunks (flat kernel), so spreading its
         # CHUNKS across n_salts reduce tasks bounds any single task's
         # share of a stopword posting list — same guarantee as round 1's
-        # per-doc hash salt, at chunk granularity.
-        salted = (
-            flat.join(F.broadcast(hot_terms), "term", "left")
-            .withColumn(
-                "salt",
-                # per-chunk entropy: the chunk's encoded doc_ids blob is
-                # unique per chunk, so its hash spreads a hot term's
-                # chunks across salts regardless of input partitioning
-                F.when(
-                    F.col("is_hot"), F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts)).cast("int")
-                ).otherwise(F.lit(0)),
+        # per-doc hash salt, at chunk granularity. The hot set comes
+        # driver-side (InSet literal + driver-written impact_terms —
+        # three fewer scheduler round trips) when term_stats is local
+        # and small, else via the broadcast join (cluster-scale path).
+        hot_list = _hot_terms_local(spark, wh, hot_df)
+        if hot_list is not None:
+            is_hot_col = F.col("term").isin(hot_list) if hot_list else F.lit(False)
+            salted = (
+                flat.withColumn(
+                    "salt",
+                    # per-chunk entropy: the chunk's encoded doc_ids blob
+                    # is unique per chunk, so its hash spreads a hot
+                    # term's chunks across salts regardless of input
+                    # partitioning
+                    F.when(
+                        is_hot_col, F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts)).cast("int")
+                    ).otherwise(F.lit(0)),
+                )
+                # hot groups also emit the impact-ordered copy (kind=1);
+                # impact_terms records this coverage for queries
+                .withColumn("want_impact", is_hot_col & F.lit(impact_copies))
             )
-            # hot groups also emit the impact-ordered copy (kind=1); the
-            # impact_terms table below records this coverage for queries
-            .withColumn(
-                "want_impact",
-                F.coalesce(F.col("is_hot"), F.lit(False)) & F.lit(impact_copies),
+            _write_impact_terms_local(wh, hot_list if impact_copies else [])
+        else:
+            hot_terms = (
+                catalog.read_table(spark, wh.root, "term_stats")
+                .filter(F.col("df") >= hot_df)
+                .select("term", F.lit(True).alias("is_hot"))
             )
-            .drop("is_hot")
-        )
-        covered_terms = hot_terms if impact_copies else hot_terms.limit(0)
-        catalog.write_table(
-            spark, covered_terms.select("term").coalesce(1), wh.root, "impact_terms"
-        )
+            salted = (
+                flat.join(F.broadcast(hot_terms), "term", "left")
+                .withColumn(
+                    "salt",
+                    F.when(
+                        F.col("is_hot"), F.pmod(F.xxhash64("doc_ids"), F.lit(n_salts)).cast("int")
+                    ).otherwise(F.lit(0)),
+                )
+                .withColumn(
+                    "want_impact",
+                    F.coalesce(F.col("is_hot"), F.lit(False)) & F.lit(impact_copies),
+                )
+                .drop("is_hot")
+            )
+            covered_terms = hot_terms if impact_copies else hot_terms.limit(0)
+            catalog.write_table(
+                spark, covered_terms.select("term").coalesce(1), wh.root, "impact_terms"
+            )
         # co-locate each (term, salt) group; the kernel itself sorts the
         # partition columnar-side (no JVM sortWithinPartitions — see
         # _make_block_mapper). The partition count is PINNED: a bare
@@ -1298,7 +1442,7 @@ def build_index(
     # The scan reads only small meta columns; parquet column pruning never
     # touches the compressed binary blobs.
     if stage_runs("block_stats"):
-        t0 = time.time()
+        t0 = begin("block_stats")
         # ONE conditional-aggregation pass over BOTH kinds of block meta
         # ((term, salt) keys are shared — impact copies reuse their
         # group's salt): kind=0 rows feed the df-derived stats (counting

@@ -207,10 +207,13 @@ def find_contamination(
     blow driver/executor memory whatever the skew.
 
     storage_level: how the candidate relation is persisted between its
-    two consumers (the verify join's both sides). The persist lives
-    until the caller unpersists or the session GCs it — for repeated
-    calls in a long-lived session, call spark.catalog.clearCache() or
-    consume + unpersist per call."""
+    two consumers (the verify join's both sides). NOTE (ADVICE r7): this
+    function is EAGER — the broadcast gate's count() executes the full
+    corpus banding pass at call time and leaves the candidate relation
+    persisted for the verify join. The persisted handle rides on the
+    returned DataFrame as `._lsearch_persisted`: long-lived sessions
+    that call this repeatedly should `out._lsearch_persisted.unpersist()`
+    once the result is consumed (or spark.catalog.clearCache())."""
     def _base(df, idc, txc, idname):
         return df.select(
             F.col(idc).alias(idname),
@@ -274,7 +277,7 @@ def find_contamination(
         .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", ngram_set("_t", n).alias("doc_id_g"))
     )
-    return (
+    out = (
         cand.join(cgrams, "doc_id")
         .join(F.broadcast(pbase.select("probe_id", "probe_id_g")), "probe_id")
         .select(
@@ -284,6 +287,8 @@ def find_contamination(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out._lsearch_persisted = cand  # unpersist handle (see docstring)
+    return out
 
 
 # ------------------------------------------------------------------ simhash

@@ -1594,8 +1594,9 @@ def batch_search(
     search() (pruned, per-query-exact, including its a-posteriori neg
     verification) and union back into the same result; queries whose
     terms then vanish from the shared scan stop being decoded at all.
-    neg+less queries are never routed (no in-batch cost estimate for
-    the compound shape) and anchor the shared scan as before.
+    neg+less queries route too (r8): their estimate composes the
+    df-aware deeper tau with the '~less' correction — the same plan
+    search() executes and verifies for the compound shape.
 
     '-term' exclusions are supported two ways, gated on the union of
     excluded terms' total df: under _NEG_DOCSET_MAX_POSTINGS the
@@ -1755,16 +1756,21 @@ def batch_search(
                     else:
                         thetas = None
                 route_thetas = thetas
-            elif not lless:
-                # '-neg' query: UNPRUNABLE in-batch (its shared-scan theta
-                # stays -inf — the shared scan has no batched analog of
-                # search()'s a-posteriori verification) but ROUTABLE:
-                # search() prunes it with the df-aware deeper tau + verify.
-                # One such query otherwise anchors its positive terms at
-                # full decode for the WHOLE batch ("the -biology" forces
+            else:
+                # '-neg' (and, r8, neg+less) query: UNPRUNABLE in-batch
+                # (its shared-scan theta stays -inf — the shared scan has
+                # no batched analog of search()'s a-posteriori
+                # verification) but ROUTABLE: search() prunes it with the
+                # df-aware deeper tau + verify, composing the '~less'
+                # correction exactly as its own planner does. One such
+                # query otherwise anchors its positive terms at full
+                # decode for the WHOLE batch ("the -biology" forces
                 # "the" exhaustive for all 25 reference queries — the r5
-                # 758 ms/query regression's root shape). Estimate its
-                # routed cost with the same k_eff deepening search() uses.
+                # 758 ms/query regression's root shape; VERDICT r7 #6
+                # closed the same hole for the neg+less compound shape).
+                # Estimate its routed cost with the same composed plan
+                # search() runs: k_eff deepening for the exclusion, tau
+                # lowered by the less terms' upper bound.
                 neg_rate = min(
                     1.0 - 1e-9,
                     sum(dfs.get(t) or 0 for t in qneg[qid]) / max(n_docs, 1),
@@ -1772,7 +1778,18 @@ def batch_search(
                 keep = max(1.0 - neg_rate, 1e-9)
                 k_eff = math.ceil((k + 4.0 * math.sqrt(k) + 4.0) / keep)
                 idf_q = {t: idf_map[t] for t in lq}
-                route_thetas, _ = _wand_thetas(lq, idf_q, bstats, k_eff, ratio, bsz)
+                rt, _tau_r = _wand_thetas(lq, idf_q, bstats, k_eff, ratio, bsz)
+                if rt is not None and lless:
+                    if all(t in bless for t in lless):
+                        ubc = max(1.0, ratio)
+                        _tau_r -= sum(
+                            _idf(n_docs, dfs[t]) * bless[t]["ub_wand"] * ubc for t in lless
+                        )
+                        ub_pos = {t: idf_q[t] * bstats[t]["ub_wand"] * ubc for t in lq}
+                        rt = _thetas_for_tau(lq, idf_q, ub_pos, sum(ub_pos.values()), _tau_r, ubc)
+                    else:
+                        rt = None
+                route_thetas = rt
             theta_map[qid] = thetas
             if thetas is not None:
                 tau_map[qid] = _tau  # composed (post-less-correction) tau

@@ -322,10 +322,10 @@ def test_batch_search_route_out_matches_single(spark, wh, pyidx, monkeypatch):
     shared batch scan (scored through per-query search()'s WAND, unioned
     back in). Force the gate both ways — everything routable routed
     (negative subtree cost) and nothing routed (infinite cost) — and
-    require per-query exactness either way. A neg+less query is never
-    routable (no in-batch cost estimate exists for the compound shape),
-    so it pins the mixed shared+routed union path; a plain '-neg' query
-    IS routable (search() prunes it with the deeper tau + verify)."""
+    require per-query exactness either way. Since r8 (VERDICT r7 #6) the
+    neg+less compound shape is routable too: its route-out estimate
+    composes the df-aware deeper tau with the '~less' correction, the
+    same plan search() executes and verifies."""
     import lsearch_spark.query as Q
 
     qs = {
@@ -336,7 +336,9 @@ def test_batch_search_route_out_matches_single(spark, wh, pyidx, monkeypatch):
         # this tiny corpus, so the query is routable via search()
         # ("-the"-style huge exclusions only form their tau at scale)
         "d": "the -chemistry",
-        "e": "physics -the ~biology",  # neg+less: NOT routable, anchors shared
+        # neg+less with a rare exclusion: routable since r8 — search()
+        # stacks the deeper tau with the less correction and verifies
+        "e": "the -chemistry ~biology",
     }
     want = {qid: bm25_topk(pyidx, q, k=5) for qid, q in qs.items()}
     for cost, expect_routed in ((-(10**9), True), (10**12, False)):
@@ -346,7 +348,7 @@ def test_batch_search_route_out_matches_single(spark, wh, pyidx, monkeypatch):
         routed = st.get("routed_out", [])
         assert (len(routed) > 0) == expect_routed, (cost, st)
         if expect_routed:
-            assert "d" in routed and "e" not in routed, st
+            assert "d" in routed and "e" in routed, st
         by_q: dict[str, list] = {}
         for r in got:
             by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))

@@ -27,22 +27,35 @@ def canon(v):
     # here), loose enough to ignore 1-ulp cross-engine noise the driver
     # demonstrably tolerates (media_image_features was driver-green in r6
     # with 1-ulp mean-channel diffs). Everything becomes a string so row
-    # tuples sort without mixed-type '<' errors.
+    # tuples sort without mixed-type '<' errors. The canonical form is
+    # TYPE-CLASS-TAGGED (ADVICE r7): "n:" for anything numeric (ints,
+    # floats, bools, Decimals — intended numeric widenings still compare
+    # equal) vs "s:" for strings, so a bigint column coming back as a
+    # STRING on one engine is a visible divergence instead of a silent
+    # pass. numpy scalars and duckdb Decimals normalize into the same
+    # numeric class first (both sides arrive via pandas).
     if v is None:
         return "\x00null"
+    tname = type(v).__name__
+    if tname != "ndarray" and hasattr(v, "item"):  # numpy scalar
+        v = v.item()
+    if tname == "Decimal":
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "n:nan"
         if v.is_integer():
-            return str(int(v))  # hugeint->float64 pandas artifact; 1351.0 == 1351
-        return f"{v:.12g}"
+            return "n:" + str(int(v))  # hugeint->float64 artifact; 1351.0 == 1351
+        return "n:" + f"{v:.12g}"
     if isinstance(v, bool):
-        return str(int(v))
+        return "n:" + str(int(v))
     if isinstance(v, int):
-        return str(v)
+        return "n:" + str(v)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, str):
+        return "s:" + v
+    return "s:" + str(v)
 
 
 def rowset(df_pandas):
