@@ -893,6 +893,54 @@ def _extracted_docs(
     )
 
 
+def _term_stats_local(spark: SparkSession, wh: Warehouse, max_bytes: int = 32 << 20) -> int | None:
+    """Driver-side term_stats aggregation for small local flat tables:
+    reads ONLY (term, n_docs, cf) via pyarrow column pruning, does the
+    exact integer groupby-sum in pandas, writes the table through the
+    fsio seam. Returns the term count, or None when not eligible
+    (Iceberg/scheme'd warehouse, or the pruned stats columns exceed
+    max_bytes compressed — the cluster-scale case)."""
+    if catalog.iceberg_catalog(spark) is not None or fsio.has_scheme(wh.root):
+        return None
+    try:
+        files = [p for p, _ in fsio.file_sizes(os.path.join(wh.path("postings_flat"), "*.parquet"))]
+        if not files:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = {"term", "n_docs", "cf"}
+        col_bytes = 0
+        for p in files:
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema in want:
+                        col_bytes += col.total_compressed_size
+            if col_bytes > max_bytes:
+                return None
+        parts = [pq.read_table(p, columns=["term", "n_docs", "cf"]) for p in files]
+        pdf = pa.concat_tables(parts).to_pandas()
+        agg = pdf.groupby("term", sort=False, as_index=False).agg(
+            df=("n_docs", "sum"), cf=("cf", "sum")
+        )
+        table = pa.table(
+            {
+                "term": pa.array(agg["term"], pa.string()),
+                "df": pa.array(agg["df"].astype("int64"), pa.int64()),
+                "cf": pa.array(agg["cf"].astype("int64"), pa.int64()),
+            }
+        )
+        path = wh.path("term_stats")
+        fsio.remove(path, recursive=True)
+        fsio.write_parquet_bytes(os.path.join(path, "part-0.parquet"), table)
+        return len(agg)
+    except Exception:
+        return None  # any surprise falls back to the Spark aggregation
+
+
 def _hot_terms_local(
     spark: SparkSession, wh: Warehouse, hot_df: int,
     max_bytes: int = 32 << 20, max_terms: int = 65_536,
@@ -1274,14 +1322,23 @@ def build_index(
     if stage_runs("term_stats"):
         t0 = begin("term_stats")
         # chunk rows carry per-chunk (n_docs, cf): term stats aggregate
-        # ~1000x fewer rows than per-(term, doc) postings would
-        ts = flat.groupBy("term").agg(
-            F.sum("n_docs").cast("long").alias("df"),
-            F.sum("cf").cast("long").alias("cf"),
-        )
-        ts, obs = _observed(ts, "term_stats")
-        catalog.write_table(spark, ts, wh.root, "term_stats")
-        finish("term_stats", t0, [(-1, obs.get["n_rows"], None)])
+        # ~1000x fewer rows than per-(term, doc) postings would.
+        # Driver fast path (r8): when the three stats columns of the
+        # local flat table are tiny (<=32MB compressed), the aggregate
+        # is a pyarrow column read + pandas groupby-sum — exact integer
+        # sums, identical table — instead of two Spark job floors
+        # (~0.5s at bench scale); larger/remote/Iceberg inputs keep the
+        # distributed aggregation.
+        n_terms = _term_stats_local(spark, wh)
+        if n_terms is None:
+            ts = flat.groupBy("term").agg(
+                F.sum("n_docs").cast("long").alias("df"),
+                F.sum("cf").cast("long").alias("cf"),
+            )
+            ts, obs = _observed(ts, "term_stats")
+            catalog.write_table(spark, ts, wh.root, "term_stats")
+            n_terms = obs.get["n_rows"]
+        finish("term_stats", t0, [(-1, n_terms, None)])
 
     # ---- stage: compressed blocks ------------------------------------------
     if stage_runs("blocks"):

@@ -686,6 +686,27 @@ def _range_semi_join(blocks: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+# Exhaustive-decode fan-out floor: a term's blocks live in ONE bucket
+# (term-hashed Hive partition) and, under the compact layout, in ~one
+# term-sorted scan partition — so a hot term's full exhaustive decode is
+# effectively single-threaded however many cores are idle (measured at
+# 600k docs: "the" exhaustive 0.38s with one ~500k-posting decode task).
+# Above this posting volume the single-positive-term path repartitions
+# the COMPRESSED blocks before the decode kernel: one local exchange of
+# the blobs buys full decode parallelism (~2M postings/s/core fused
+# kernel => ~30ms of decode per 64k-posting task). Single-term only:
+# per-doc scores there involve no cross-batch summation, so the result
+# is bit-identical under any partitioning.
+_FAN_OUT_MIN_POSTINGS = 65_536
+
+
+def _fan_out_blocks(spark, blocks: DataFrame, est_postings: int) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    if est_postings < 2 * _FAN_OUT_MIN_POSTINGS:
+        return blocks
+    return blocks.repartition(min(par, est_postings // _FAN_OUT_MIN_POSTINGS))
+
+
 def _docs_unique(st: dict, live: list[str]) -> bool:
     """True when every doc is guaranteed to appear in at most ONE decode
     partial row: a single positive term on an unsegmented index (one
@@ -1472,6 +1493,12 @@ def search(
             "score", F.col("score") - F.coalesce(F.col("penalty"), F.lit(0.0))
         )
         return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    if not pruned and _docs_unique(st, live):
+        # zero-exchange single-term exhaustive path: parallelize the
+        # decode of a hot term's single-partition block scan (see
+        # _fan_out_blocks — bit-identical, volume-gated)
+        blocks = _fan_out_blocks(spark, blocks, dfs[live[0]])
 
     topk = _mk_topk(blocks)
 
