@@ -699,6 +699,13 @@ def _range_semi_join(blocks: DataFrame, cand: DataFrame) -> DataFrame:
 # is bit-identical under any partitioning.
 _FAN_OUT_MIN_POSTINGS = 65_536
 
+# The inverse knob: a PRUNED scan that keeps at most this many blocks
+# (~8k postings) is coalesced to a handful of tasks — at growing bucket
+# counts the block relation's partition count grows (that is what keeps
+# per-bucket bytes constant), and a ~k-block routed scan would launch
+# one python-runner round trip per partition, nearly all empty.
+_COALESCE_MAX_KEPT = 64
+
 
 def _fan_out_blocks(spark, blocks: DataFrame, est_postings: int) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
@@ -1361,6 +1368,16 @@ def search(
                 # routed scan: hot terms read a tau-prefix of their
                 # impact-ordered copy, cold terms the doc_id-ordered blocks
                 blocks = _routed_blocks(st, live, thetas, imp)
+                if est_kept <= _COALESCE_MAX_KEPT:
+                    # a ~k-block scan over a many-partition relation
+                    # (auto-buckets grow with the corpus; warm_postings'
+                    # cached relation keeps one partition per scan
+                    # split) otherwise launches a python-runner task per
+                    # partition, nearly all empty — measured at 2.4M
+                    # docs/65 buckets: pruned "the" paid 4+ waves of
+                    # empty decode round trips. coalesce is narrow
+                    # (no shuffle) and row-preserving.
+                    blocks = blocks.coalesce(4)
                 pruned = True
             if _stats is not None:
                 # plan-choice observability (the --strats analog records
