@@ -134,7 +134,8 @@ class Warehouse:
                 import pyarrow.parquet as pq
 
                 files = fsio.file_sizes(os.path.join(path, "*.parquet"))
-                if files:
+                if len(files) == 1:  # _write_corpus_stats_at writes ONE
+                    # file; anything else is unexpected -> Spark read
                     t = pq.read_table(files[0][0])
                     return {c: t[c][0].as_py() for c in t.column_names}
             except Exception:
